@@ -1,0 +1,340 @@
+"""File IO: compression sniffing, FASTA parsing, npz and cluster/bin output.
+
+Behavioral parity: reference vamb/vambtools.py:333-519 (Reader, FastaEntry,
+byte_iterfasta), :602-646 (cluster TSV), :666-762 (bins + npz),
+:765-813 (concatenate). Implementations are original; identifier validation
+follows the SAM spec so FASTA headers always round-trip through BAM.
+"""
+
+import bz2
+import collections
+import gzip
+import lzma
+import re
+from pathlib import Path
+from typing import IO, Collection, Iterable, Iterator, Optional, Union
+
+import numpy as np
+
+from .kmers import kmercounts
+
+CLUSTERS_HEADER = "clustername\tcontigname"
+
+
+class Reader:
+    """Open plain, gzip, bzip2 or xz files transparently (binary mode).
+
+    Format is sniffed from magic bytes, never from the file extension
+    (reference vambtools.py:333-375).
+    """
+
+    def __init__(self, filename: Union[str, Path]):
+        self.filename = filename
+        with open(self.filename, "rb") as f:
+            signature = f.peek(8)[:8]
+
+        if tuple(signature[:2]) == (0x1F, 0x8B):  # gzip
+            self.filehandle = gzip.open(self.filename, "rb")
+        elif signature[:2] == b"BZ":  # bzip2
+            self.filehandle = bz2.open(self.filename, "rb")
+        elif tuple(signature[:7]) == (0xFD, 0x37, 0x7A, 0x58, 0x5A, 0x00, 0x00):  # xz
+            self.filehandle = lzma.open(self.filename, "rb")
+        else:
+            self.filehandle = open(self.filename, "rb")
+
+    def close(self):
+        self.filehandle.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, _type, _value, _traceback):
+        self.close()
+
+    def __iter__(self):
+        return self.filehandle
+
+
+class FastaEntry:
+    """A single FASTA record with a SAM-spec-validated identifier.
+
+    The identifier is the header up to the first whitespace; the regex is the
+    SAM specification's valid reference-name pattern (minus leading '#'),
+    ensuring FASTA and BAM headers can always be matched
+    (reference vambtools.py:378-447).
+    """
+
+    # IUPAC ambiguous DNA letters + U, both cases
+    allowed = b"acgtuswkmyrbdhvn"
+    allowed += allowed.upper()
+    regex = re.compile(
+        b"([0-9A-Za-z!$%&+./:;?@^_|~-][0-9A-Za-z!#$%&*+./:;=?@^_|~-]*)([^\\S\r\n][^\r\n]*)?$"
+    )
+    __slots__ = ["identifier", "description", "sequence"]
+
+    def _verify_header(self, header: bytes) -> tuple[str, str]:
+        m = self.regex.match(header)
+        if m is None:
+            raise ValueError(
+                f'Invalid header in FASTA: "{header.decode()}". '
+                '\nMust conform to identifier regex pattern of SAM specification: "'
+                '>([0-9A-Za-z!$%&+./:;?@^_|~-][0-9A-Za-z!#$%&*+./:;=?@^_|~-]*)([^\\S\\r\\n][^\\r\\n]*)?$".\n'
+                "If the header does not fit this pattern, the header cannot be "
+                "represented in BAM files, which means sequences in BAM and FASTA "
+                "files cannot be compared."
+            )
+        identifier, description = m.groups()
+        description = "" if description is None else description.decode()
+        return (identifier.decode(), description)
+
+    def __init__(self, header: bytes, sequence: bytearray):
+        identifier, description = self._verify_header(header)
+        self.identifier: str = identifier
+        self.description: str = description
+        masked = sequence.translate(None, b" \t\n\r")
+        stripped = masked.translate(None, self.allowed)
+        if len(stripped) > 0:
+            codeunit = stripped[0]
+            bad_character = chr(codeunit)
+            raise ValueError(
+                f"Non-IUPAC DNA/RNA byte in sequence '{identifier}': "
+                f"'{bad_character}', byte value {codeunit}"
+            )
+        self.sequence: bytearray = masked
+
+    @property
+    def header(self) -> str:
+        return self.identifier + self.description
+
+    def rename(self, header: bytes) -> None:
+        identifier, description = self._verify_header(header)
+        self.identifier = identifier
+        self.description = description
+
+    def __len__(self) -> int:
+        return len(self.sequence)
+
+    def format(self, width: int = 60) -> str:
+        sixtymers = range(0, len(self.sequence), width)
+        spacedseq = "\n".join([self.sequence[i : i + width].decode() for i in sixtymers])
+        return f">{self.header}\n{spacedseq}"
+
+    def kmercounts(self) -> np.ndarray:
+        "Count 4-mers into a 256-slot uint32 vector (2-bit rolling encoding)."
+        return kmercounts(bytes(self.sequence))
+
+
+def _strip_newline(s: bytes) -> bytes:
+    if len(s) > 0 and s[-1] == 10:
+        if len(s) > 1 and s[-2] == 13:
+            return s[:-2]
+        return s[:-1]
+    return s
+
+
+def byte_iterfasta(
+    filehandle: Iterable[bytes], filename: Optional[str]
+) -> Iterator[FastaEntry]:
+    """Yield FastaEntry objects from an iterator of binary FASTA lines.
+
+    Streaming: only one record is buffered at a time
+    (reference vambtools.py:471-518).
+    """
+    line_iterator = iter(filehandle)
+    prefix = "" if filename is None else f"In file '{filename}', "
+    header = next(line_iterator, None)
+
+    if header is None:  # empty file is valid
+        return None
+    elif not isinstance(header, bytes):
+        raise TypeError(
+            f"{prefix}first line is not binary. "
+            "Are you sure you are reading the file in binary mode?"
+        )
+    elif not header.startswith(b">"):
+        raise ValueError(
+            f"{prefix}FASTA file is invalid, first line does not begin with '>'"
+        )
+
+    header = _strip_newline(header[1:])
+    buffer: list[bytes] = list()
+
+    for line in line_iterator:
+        if line.startswith(b">"):
+            yield FastaEntry(header, bytearray().join(buffer))
+            buffer.clear()
+            header = _strip_newline(line[1:])
+        else:
+            buffer.append(line)
+
+    yield FastaEntry(header, bytearray().join(buffer))
+
+
+def read_npz(file) -> np.ndarray:
+    "Load a single-array .npz file (key 'arr_0')."
+    npz = np.load(file)
+    array = _validate(npz["arr_0"])
+    npz.close()
+    return array
+
+
+def write_npz(file, array: np.ndarray):
+    "Write a numpy array to a compressed .npz file."
+    np.savez_compressed(file, array)
+
+
+def _validate(array: np.ndarray) -> np.ndarray:
+    if not array.flags["C_CONTIGUOUS"]:
+        array = np.ascontiguousarray(array)
+    if not array.flags["OWNDATA"]:
+        array = array.copy()
+    return array
+
+
+def write_clusters(
+    io: IO[str], clusters: Iterable[tuple[str, set[str]]], print_header: bool = True
+) -> tuple[int, int]:
+    "Write (clustername, contignames) pairs as a two-column TSV."
+    n_clusters = 0
+    n_contigs = 0
+    if print_header:
+        print(CLUSTERS_HEADER, file=io)
+    for cluster_name, contig_names in clusters:
+        n_clusters += 1
+        n_contigs += len(contig_names)
+        for contig_name in contig_names:
+            print(cluster_name, contig_name, sep="\t", file=io)
+    return (n_clusters, n_contigs)
+
+
+def read_clusters(filehandle: Iterable[str], min_size: int = 1) -> dict[str, set[str]]:
+    "Read a cluster TSV written by `write_clusters` into {name: set(contigs)}."
+    contigsof: collections.defaultdict[str, set[str]] = collections.defaultdict(set)
+    lines = iter(filehandle)
+    header = next(lines)
+    if header.rstrip(" \n") != CLUSTERS_HEADER:
+        raise ValueError(
+            f'Expected cluster TSV file to start with header: "{CLUSTERS_HEADER}"'
+        )
+
+    for line in lines:
+        stripped = line.strip()
+        if not stripped or stripped[0] == "#":
+            continue
+        clustername, contigname = stripped.split("\t")
+        contigsof[clustername].add(contigname)
+
+    return {cl: co for cl, co in contigsof.items() if len(co) >= min_size}
+
+
+def check_is_creatable_file_path(path: Path) -> None:
+    if path.exists():
+        raise FileExistsError(path)
+    if not path.parent.is_dir():
+        raise NotADirectoryError(path.parent)
+
+
+def create_dir_if_not_existing(path: Path) -> None:
+    if path.is_dir():
+        return None
+    if path.is_file():
+        raise FileExistsError(path)
+    if not path.parent.is_dir():
+        raise NotADirectoryError(path.parent)
+    path.mkdir(exist_ok=True)
+
+
+def write_bins(
+    directory: Path,
+    bins: Collection[tuple[str, Iterable[str]]],
+    fastaio: Iterable[bytes],
+    compress: bool,
+    maxbins: Optional[int] = 1000,
+):
+    """Write one FASTA file per bin into `directory`.
+
+    Sequences are gzip-cached in RAM while streaming the input FASTA once,
+    then decompressed per-bin (reference vambtools.py:666-724). `maxbins`
+    guards against accidentally creating tens of thousands of files.
+    """
+    if maxbins is not None and len(bins) > maxbins:
+        raise ValueError(f"{len(bins)} bins exceed maxbins of {maxbins}")
+
+    create_dir_if_not_existing(directory)
+
+    keep: set[str] = set()
+    for _, contigs in bins:
+        keep.update(contigs)
+
+    bytes_by_id: dict[str, bytes] = dict()
+    for entry in byte_iterfasta(fastaio, None):
+        if entry.identifier in keep:
+            bytes_by_id[entry.identifier] = gzip.compress(
+                entry.format().encode(), compresslevel=1
+            )
+
+    for binname, contigs in bins:
+        for contig in contigs:
+            if contig not in bytes_by_id:
+                raise IndexError(
+                    f'Contig "{contig}" in bin missing from input FASTA file'
+                )
+
+        base_output_name = directory.joinpath(binname)
+        if compress:
+            context = gzip.open(
+                base_output_name.with_suffix(".fna.gz"), "wb", compresslevel=1
+            )
+        else:
+            context = open(base_output_name.with_suffix(".fna"), "wb")
+
+        with context as file:
+            for contig in contigs:
+                file.write(gzip.decompress(bytes_by_id[contig]))
+                file.write(b"\n")
+
+
+def concatenate_fasta_ios(
+    outfile: IO[str],
+    readers: Iterable[Iterable[bytes]],
+    minlength: int = 2000,
+    rename: bool = True,
+):
+    """Concatenate multiple FASTA inputs, renaming to 'S{n}C{identifier}'.
+
+    The rename scheme is what makes default binsplitting on 'C' work
+    (reference vambtools.py:765-813).
+    """
+    identifiers: set[str] = set()
+    for reader_no, reader in enumerate(readers):
+        if rename:
+            identifiers.clear()
+
+        for entry in byte_iterfasta(reader, None):
+            if len(entry) < minlength:
+                continue
+            if rename:
+                entry.rename(f"S{reader_no + 1}C{entry.identifier}".encode())
+            if entry.identifier in identifiers:
+                raise ValueError(
+                    f'Multiple sequences would be given identifier "{entry.identifier}".'
+                )
+            identifiers.add(entry.identifier)
+            print(entry.format(), file=outfile)
+
+
+def concatenate_fasta(
+    outfile: IO[str],
+    inpaths: Iterable[Path],
+    minlength: int = 2000,
+    rename: bool = True,
+):
+    concatenate_fasta_ios(
+        outfile, _open_file_iterator(inpaths), minlength=minlength, rename=rename
+    )
+
+
+def _open_file_iterator(paths: Iterable[Path]) -> Iterable[Reader]:
+    for path in paths:
+        with Reader(path) as io:
+            yield io
