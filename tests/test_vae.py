@@ -1,0 +1,168 @@
+"""Tests for the dataset normalization contract and VAE training/encoding.
+
+Mirrors the reference's test strategy (reference test/test_encode.py):
+normalization invariants, loss-falls smoke test, save/load encode equality.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from vamb_tpu.models import VAE, make_dataset
+from vamb_tpu.models.dataset import batchsize_at_epoch, num_batches
+
+
+def make_raw(n=111, s=4, seed=0):
+    rng = np.random.default_rng(seed)
+    abundance = rng.uniform(0, 5, (n, s)).astype(np.float32)
+    tnf = rng.standard_normal((n, 103)).astype(np.float32)
+    lengths = rng.integers(2000, 50_000, n).astype(np.int64)
+    return abundance, tnf, lengths
+
+
+class TestDataset:
+    def test_normalization_invariants(self):
+        abundance, tnf, lengths = make_raw()
+        ds = make_dataset(abundance, tnf, lengths)
+        # depths rows sum to 1
+        np.testing.assert_allclose(ds.depths.sum(axis=1), 1.0, rtol=1e-4)
+        # tnf columns zscored
+        np.testing.assert_allclose(ds.tnf.mean(axis=0), 0.0, atol=1e-4)
+        np.testing.assert_allclose(ds.tnf.std(axis=0), 1.0, rtol=1e-3)
+        # total abundance zscored column
+        assert ds.abundance.shape == (len(abundance), 1)
+        np.testing.assert_allclose(ds.abundance.mean(), 0.0, atol=1e-4)
+        # weights mean 1, min weight corresponds to >= 2.0 pre-scaling
+        np.testing.assert_allclose(ds.weights.mean(), 1.0, rtol=1e-4)
+
+    def test_weight_formula(self):
+        abundance, tnf, _ = make_raw(n=3)
+        lengths = np.array([2000, 150_000, 3_000_000])
+        ds = make_dataset(abundance, tnf, lengths)
+        raw = np.maximum(np.log(lengths.astype(np.float32)) - 5.0, 2.0)
+        expected = raw * 3 / raw.sum()
+        np.testing.assert_allclose(ds.weights[:, 0], expected, rtol=1e-5)
+
+    def test_destroy_mutates_in_place(self):
+        abundance, tnf, lengths = make_raw()
+        a2, t2 = abundance.copy(), tnf.copy()
+        ds = make_dataset(abundance, tnf, lengths, destroy=True)
+        assert ds.depths is abundance
+        assert ds.tnf is tnf
+        assert not np.array_equal(abundance, a2)
+        assert not np.array_equal(tnf, t2)
+
+    def test_zero_sample_depth_raises(self):
+        abundance, tnf, lengths = make_raw()
+        abundance[:, 1] = 0.0
+        with pytest.raises(ValueError, match="zero depth"):
+            make_dataset(abundance, tnf, lengths)
+
+    def test_zero_total_abundance_row_becomes_uniform(self):
+        abundance, tnf, lengths = make_raw(s=4)
+        abundance[7] = 0.0
+        ds = make_dataset(abundance, tnf, lengths)
+        np.testing.assert_allclose(ds.depths[7], 0.25, rtol=1e-5)
+
+    def test_dtype_checks(self):
+        abundance, tnf, lengths = make_raw()
+        with pytest.raises(ValueError, match="float32"):
+            make_dataset(abundance.astype(np.float64), tnf, lengths)
+        with pytest.raises(ValueError, match="same"):
+            make_dataset(abundance[:-1], tnf, lengths)
+
+    def test_batch_schedule(self):
+        assert num_batches(1000, 256) == 3  # drop_last
+        assert num_batches(100, 256) == 1  # single small batch
+        assert batchsize_at_epoch(256, [25, 75], 0) == 256
+        assert batchsize_at_epoch(256, [25, 75], 25) == 512
+        assert batchsize_at_epoch(256, [25, 75], 80) == 1024
+
+
+class TestVAE:
+    def test_bad_args(self):
+        with pytest.raises(ValueError):
+            VAE(nsamples=0)
+        with pytest.raises(ValueError):
+            VAE(nsamples=4, nlatent=0)
+        with pytest.raises(ValueError):
+            VAE(nsamples=4, alpha=1.5)
+        with pytest.raises(ValueError):
+            VAE(nsamples=4, beta=0.0)
+        with pytest.raises(ValueError):
+            VAE(nsamples=4, dropout=1.0)
+
+    def test_single_sample_defaults(self):
+        vae = VAE(nsamples=1)
+        assert vae.alpha == 0.50
+        assert vae.nhiddens == [256, 256]
+        vae4 = VAE(nsamples=4)
+        assert vae4.alpha == 0.15
+        assert vae4.nhiddens == [512, 512]
+
+    def test_loss_falls_and_save_load(self, tmp_path):
+        abundance, tnf, lengths = make_raw(n=200, s=3, seed=1)
+        ds = make_dataset(abundance, tnf, lengths)
+        vae = VAE(nsamples=3, nhiddens=[64, 64], nlatent=8, seed=0)
+        losses = []
+        vae.trainmodel(
+            ds, nepochs=5, batchsize=32, batchsteps=None,
+            logger=lambda m: losses.append(m),
+        )
+        loss_lines = [l for l in losses if "Loss:" in l]
+        assert len(loss_lines) == 5
+        first = float(loss_lines[0].split("Loss: ")[1].split()[0])
+        last = float(loss_lines[-1].split("Loss: ")[1].split()[0])
+        assert last < first, f"loss did not fall: {first} -> {last}"
+
+        latent = vae.encode(ds)
+        assert latent.shape == (200, 8)
+        assert np.all(np.isfinite(latent))
+
+        buf = io.BytesIO()
+        vae.save(buf)
+        buf.seek(0)
+        vae2 = VAE.load(buf)
+        latent2 = vae2.encode(ds)
+        np.testing.assert_array_equal(latent, latent2)
+
+    def test_train_too_few_sequences_raises(self):
+        abundance, tnf, lengths = make_raw(n=1)
+        ds = make_dataset(abundance, tnf, lengths)
+        vae = VAE(nsamples=4, nhiddens=[16], nlatent=4)
+        with pytest.raises(ValueError, match="fewer than 2"):
+            vae.trainmodel(ds, nepochs=2, batchsteps=None)
+
+    def test_batchsteps_validation(self):
+        abundance, tnf, lengths = make_raw()
+        ds = make_dataset(abundance, tnf, lengths)
+        vae = VAE(nsamples=4, nhiddens=[16], nlatent=4)
+        with pytest.raises(ValueError, match="batchsteps"):
+            vae.trainmodel(ds, nepochs=5, batchsteps=[5])
+        with pytest.raises(ValueError, match="integers"):
+            vae.trainmodel(ds, nepochs=5, batchsteps=[2.5])
+
+    def test_encode_mantissa_masked(self):
+        abundance, tnf, lengths = make_raw(n=64, s=2)
+        ds = make_dataset(abundance, tnf, lengths)
+        vae = VAE(nsamples=2, nhiddens=[16], nlatent=4)
+        latent = vae.encode(ds)
+        bits = latent.view(np.uint32)
+        assert np.all(bits & 0xFFF == 0)
+
+    def test_encode_batch_independent(self):
+        "Chunked encode must equal whole-matrix encode (eval-mode BN)."
+        abundance, tnf, lengths = make_raw(n=300, s=2)
+        ds = make_dataset(abundance, tnf, lengths)
+        vae = VAE(nsamples=2, nhiddens=[16], nlatent=4)
+        import vamb_tpu.models.vae as vae_mod
+
+        full = vae.encode(ds)
+        old = vae_mod._ENCODE_CHUNK
+        try:
+            vae_mod._ENCODE_CHUNK = 256  # force 2 chunks with padding
+            chunked = vae.encode(ds)
+        finally:
+            vae_mod._ENCODE_CHUNK = old
+        np.testing.assert_array_equal(full, chunked)

@@ -1,0 +1,99 @@
+"""Functional neural-net building blocks (pure JAX pytrees).
+
+The model layer is deliberately framework-free: every "module" is a pair of
+functions, ``init_*`` returning a params/state pytree and ``apply`` functions
+that are pure and jit/shard_map-friendly. This keeps full control over
+BatchNorm statistics (which must be psum-synced across a data-parallel mesh to
+match the reference's global-batch semantics; reference vamb/encode.py:238,246
+uses torch BatchNorm1d) and avoids mutable-collection plumbing in pjit.
+
+Semantics replicated from torch defaults used by the reference:
+* Linear: Kaiming-uniform weight init (a=sqrt(5)), uniform bias in
+  +-1/sqrt(fan_in) — torch.nn.Linear's default.
+* BatchNorm1d: eps 1e-5, momentum 0.1, affine, running stats; training
+  normalizes with biased batch variance but stores the unbiased variance into
+  the running estimate; eval normalizes with running stats.
+* LeakyReLU: negative slope 0.01 (torch default).
+* Dropout: inverted dropout, scaling by 1/(1-p) at train time.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict
+
+
+def init_dense(key: jax.Array, nin: int, nout: int) -> Params:
+    "Torch-default Linear init: Kaiming uniform (a=sqrt(5)) + uniform bias."
+    wkey, bkey = jax.random.split(key)
+    # kaiming_uniform with a=sqrt(5) reduces to U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+    bound = 1.0 / np.sqrt(nin)
+    w = jax.random.uniform(wkey, (nin, nout), jnp.float32, -bound, bound)
+    b = jax.random.uniform(bkey, (nout,), jnp.float32, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def dense(params: Params, x: jax.Array) -> jax.Array:
+    return jnp.dot(x, params["w"], preferred_element_type=jnp.float32) + params["b"]
+
+
+def init_batchnorm(n: int) -> tuple[Params, Params]:
+    "Returns (learnable params, running state)."
+    params = {"scale": jnp.ones((n,), jnp.float32), "bias": jnp.zeros((n,), jnp.float32)}
+    state = {
+        "mean": jnp.zeros((n,), jnp.float32),
+        "var": jnp.ones((n,), jnp.float32),
+    }
+    return params, state
+
+
+def batchnorm_train(
+    params: Params,
+    state: Params,
+    x: jax.Array,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+    axis_name: Optional[str] = None,
+) -> tuple[jax.Array, Params]:
+    """Normalize with batch statistics; return output and updated running state.
+
+    If `axis_name` is given, batch statistics are averaged across that mapped
+    mesh axis (global-batch semantics under data parallelism).
+    """
+    mean = jnp.mean(x, axis=0)
+    mean2 = jnp.mean(x * x, axis=0)
+    n = x.shape[0]
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
+        mean2 = jax.lax.pmean(mean2, axis_name)
+        n = n * jax.lax.psum(1, axis_name)
+    var = mean2 - mean * mean  # biased, used for normalization
+    inv = jax.lax.rsqrt(var + eps)
+    out = (x - mean) * inv * params["scale"] + params["bias"]
+    # torch stores the *unbiased* variance in the running estimate
+    unbiased = var * (n / max(n - 1, 1)) if isinstance(n, int) else var * n / (n - 1)
+    new_state = {
+        "mean": (1 - momentum) * state["mean"] + momentum * mean,
+        "var": (1 - momentum) * state["var"] + momentum * unbiased,
+    }
+    return out, new_state
+
+
+def batchnorm_eval(params: Params, state: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    inv = jax.lax.rsqrt(state["var"] + eps)
+    return (x - state["mean"]) * inv * params["scale"] + params["bias"]
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.01) -> jax.Array:
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+def dropout(key: jax.Array, x: jax.Array, rate: float) -> jax.Array:
+    "Inverted dropout. rate==0 is the identity."
+    if rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)

@@ -1,0 +1,114 @@
+"""D-Adaptation Adam as an optax GradientTransformation.
+
+Learning-rate-free Adam from "Learning-Rate-Free Learning by D-Adaptation"
+(Defazio & Mishchenko, ICML 2023). The reference trains every model with
+`dadaptation.DAdaptAdam(parameters, decouple=True)` (reference
+vamb/encode.py:578, taxvamb_encode.py:387,1074) and relies on the adaptive
+step size instead of a tuned learning rate, so the update rule is behaviorally
+load-bearing and is reproduced here exactly:
+
+    dlr      = d * lr
+    num'     = sqrt(b2) * num + (1-sqrt(b2)) * dlr * sum_p <g, s / (sqrt(v)+eps)>
+    m'       = b1 * m + (1-b1) * dlr * g          (note: dlr folded into m)
+    v'       = b2 * v + (1-b2) * g^2
+    s'       = sqrt(b2) * s + (1-sqrt(b2)) * dlr * g
+    d_hat    = num' / ((1-sqrt(b2)) * ||s'||_1)
+    d'       = max(d, min(d_hat, d * growth_rate))     [skipped if ||s'||_1 == 0]
+    update   = -m' / (sqrt(v')+eps)  -  decay * dlr * p   (decoupled decay)
+
+Unlike torch Adam there is no bias correction; the d estimate plays that role.
+The d/numerator scalars are global across the whole parameter pytree, so this
+cannot be expressed by chaining per-leaf optax transforms — it is a single
+custom transformation. All state lives on device; the step is jit-safe and
+works under pjit/shard_map (the scalar reductions become cross-shard psums
+automatically when params are sharded).
+"""
+
+from typing import NamedTuple, Optional
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class DAdaptAdamState(NamedTuple):
+    m: optax.Updates  # first moment, with d*lr folded in
+    v: optax.Updates  # second moment
+    s: optax.Updates  # weighted gradient sum
+    d: jax.Array  # scalar estimate of initial distance to solution
+    numerator_weighted: jax.Array  # scalar
+    count: jax.Array
+
+
+def dadapt_adam(
+    learning_rate: float = 1.0,
+    betas: tuple[float, float] = (0.9, 0.999),
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    d0: float = 1e-6,
+    growth_rate: Optional[float] = None,
+) -> optax.GradientTransformation:
+    """Create the D-Adaptation Adam transformation (decoupled weight decay).
+
+    Use with `optax.apply_updates`. `learning_rate` is a multiplier on the
+    adaptive step (leave at 1.0 for learning-rate-free behavior).
+    """
+    b1, b2 = betas
+    sqrt_b2 = b2**0.5
+
+    def init_fn(params: optax.Params) -> DAdaptAdamState:
+        zeros = lambda: jax.tree.map(jnp.zeros_like, params)  # noqa: E731
+        return DAdaptAdamState(
+            m=zeros(),
+            v=zeros(),
+            s=zeros(),
+            d=jnp.asarray(d0, jnp.float32),
+            numerator_weighted=jnp.asarray(0.0, jnp.float32),
+            count=jnp.zeros((), jnp.int32),
+        )
+
+    def update_fn(
+        grads: optax.Updates,
+        state: DAdaptAdamState,
+        params: Optional[optax.Params] = None,
+    ):
+        if weight_decay != 0.0:
+            chex.assert_trees_all_equal_structs(grads, params)
+        dlr = state.d * learning_rate
+
+        # numerator increment uses the *previous* s and v
+        def leaf_dot(g, s, v):
+            return jnp.sum(g * (s / (jnp.sqrt(v) + eps)))
+
+        delta_num = jax.tree.reduce(
+            jnp.add, jax.tree.map(leaf_dot, grads, state.s, state.v)
+        )
+        numerator = sqrt_b2 * state.numerator_weighted + (1 - sqrt_b2) * dlr * delta_num
+
+        m = jax.tree.map(lambda m_, g: b1 * m_ + (1 - b1) * dlr * g, state.m, grads)
+        v = jax.tree.map(lambda v_, g: b2 * v_ + (1 - b2) * g * g, state.v, grads)
+        s = jax.tree.map(
+            lambda s_, g: sqrt_b2 * s_ + (1 - sqrt_b2) * dlr * g, state.s, grads
+        )
+
+        sk_l1 = jax.tree.reduce(jnp.add, jax.tree.map(lambda x: jnp.sum(jnp.abs(x)), s))
+        d_hat = numerator / ((1 - sqrt_b2) * jnp.maximum(sk_l1, 1e-30))
+        if growth_rate is not None:
+            d_hat = jnp.minimum(d_hat, state.d * growth_rate)
+        new_d = jnp.where(
+            (sk_l1 > 0) & (learning_rate > 0), jnp.maximum(state.d, d_hat), state.d
+        )
+
+        updates = jax.tree.map(lambda m_, v_: -m_ / (jnp.sqrt(v_) + eps), m, v)
+        if weight_decay != 0.0:
+            updates = jax.tree.map(
+                lambda u, p: u - weight_decay * dlr * p, updates, params
+            )
+
+        new_state = DAdaptAdamState(
+            m=m, v=v, s=s, d=new_d, numerator_weighted=numerator, count=state.count + 1
+        )
+        return updates, new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
