@@ -1,0 +1,135 @@
+"""End-to-end CLI test: `vamb_tpu bin default` on synthetic data.
+
+Mirrors the reference's CLI integration workflow (.github/workflows/
+cli_vamb.yml runs `vamb bin default` with reduced epochs): generates a
+150-contig, 4-sample dataset, runs the full pipeline, and validates every
+output artifact."""
+
+import gzip
+import io
+import random
+
+import numpy as np
+import pytest
+
+from vamb_tpu.__main__ import main
+from vamb_tpu.utils import read_clusters
+
+N_CONTIGS = 150
+N_SAMPLES = 4
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    "Synthetic FASTA + abundance TSV with S{s}C{i} names for binsplitting."
+    rng = random.Random(7)
+    nprng = np.random.default_rng(7)
+    d = tmp_path_factory.mktemp("data")
+    names = [f"S{1 + i % 3}C{i}" for i in range(N_CONTIGS)]
+    with open(d / "contigs.fna", "w") as f:
+        for i, name in enumerate(names):
+            seq = "".join(rng.choices("ACGT", k=2000 + 37 * i))
+            f.write(f">{name}\n{seq}\n")
+    depths = nprng.uniform(0.0, 10.0, (N_CONTIGS, N_SAMPLES)).astype(np.float32)
+    with open(d / "abundance.tsv", "w") as f:
+        f.write("contigname\t" + "\t".join(f"sample{j}" for j in range(N_SAMPLES)) + "\n")
+        for name, row in zip(names, depths):
+            f.write(name + "\t" + "\t".join(f"{v:.4f}" for v in row) + "\n")
+    return d
+
+
+@pytest.fixture(scope="module")
+def outdir(dataset_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("out") / "run"
+    main(
+        [
+            "bin",
+            "default",
+            "--outdir", str(out),
+            "--fasta", str(dataset_dir / "contigs.fna"),
+            "--abundance_tsv", str(dataset_dir / "abundance.tsv"),
+            "-e", "4",
+            "-q", "2",
+            "--seed", "5",
+            "--minfasta", "2000",
+        ]
+    )
+    return out
+
+
+def test_artifacts_exist(outdir):
+    for name in (
+        "composition.npz",
+        "abundance.npz",
+        "latent.npz",
+        "model.npz",
+        "log.txt",
+        "vae_clusters_unsplit.tsv",
+        "vae_clusters_split.tsv",
+        "vae_clusters_metadata.tsv",
+    ):
+        assert (outdir / name).is_file(), f"missing {name}"
+
+
+def test_unsplit_clusters_partition_contigs(outdir):
+    with open(outdir / "vae_clusters_unsplit.tsv") as f:
+        clusters = read_clusters(f)
+    members = [c for members in clusters.values() for c in members]
+    assert len(members) == N_CONTIGS
+    assert len(set(members)) == N_CONTIGS
+
+
+def test_split_clusters_single_sample(outdir):
+    with open(outdir / "vae_clusters_split.tsv") as f:
+        clusters = read_clusters(f)
+    for name, members in clusters.items():
+        samples = {m.split("C")[0] for m in members}
+        assert len(samples) == 1
+        # split names are prefixed with the sample
+        assert name.startswith(next(iter(samples)) + "C")
+
+
+def test_metadata_columns(outdir):
+    lines = (outdir / "vae_clusters_metadata.tsv").read_text().splitlines()
+    assert lines[0] == "name\tradius\tpeak valley ratio\tkind\tbp\tncontigs\tmedoid"
+    total_contigs = 0
+    for line in lines[1:]:
+        fields = line.split("\t")
+        assert len(fields) == 7
+        assert fields[3] in ("normal", "loner", "fallback")
+        total_contigs += int(fields[5])
+    assert total_contigs == N_CONTIGS
+
+
+def test_latent_shape(outdir):
+    from vamb_tpu.utils import read_npz
+
+    latent = read_npz(outdir / "latent.npz")
+    assert latent.shape == (N_CONTIGS, 32)
+    assert latent.dtype == np.float32
+
+
+def test_fasta_bins_written(outdir, dataset_dir):
+    bins = list((outdir / "bins").glob("*.fna"))
+    assert len(bins) > 0
+    # each bin fasta contains its cluster's contigs verbatim
+    text = bins[0].read_text()
+    assert text.startswith(">")
+
+
+def test_composition_reuse(outdir, dataset_dir, tmp_path):
+    "Re-running from cached composition.npz + abundance.npz works."
+    out2 = tmp_path / "rerun"
+    main(
+        [
+            "bin",
+            "default",
+            "--outdir", str(out2),
+            "--composition", str(outdir / "composition.npz"),
+            "--abundance", str(outdir / "abundance.npz"),
+            "-e", "2",
+            "-q",
+            "--seed", "5",
+        ]
+    )
+    assert (out2 / "vae_clusters_unsplit.tsv").is_file()

