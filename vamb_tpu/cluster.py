@@ -1,54 +1,53 @@
 """Iterative medoid clustering of L2-normalized latents, TPU-first.
 
 Behavioral spec: reference vamb/cluster.py (the GPU `kept_mask` variant,
-cluster.py:174-177, which the reference itself documents as the
-masking-not-deletion formulation — exactly the XLA-friendly one). Constants
-and decision rules are kept identical:
+cluster.py:174-177 — masking, not row deletion, which is exactly the
+XLA-friendly formulation). Constants and decision rules are identical:
 
-* normalization: zero rows -> uniform 1/D, then divide by row norm * sqrt(2)
-  so cosine distance = 0.5 - x.y lies in [0, 1] (cluster.py:653-669).
-* seeds tried in descending contig-length order, cyclically (cluster.py:275,
-  342-384).
-* medoid wandering: hill-climb on length-weighted local density within radius
-  0.05, sampling <=25 untried candidates per step (cluster.py:415-450).
+* normalization: zero rows -> uniform, divide by row norm * sqrt(2) so
+  cosine distance = 0.5 - x.y lies in [0, 1] (cluster.py:653-669).
+* seeds tried in descending contig-length order, cyclically (:275, :342-384).
+* medoid wandering: hill-climb on length-weighted local density within
+  radius 0.05, <=25 sampled untried candidates per step (:415-450).
 * threshold: length-weighted histogram of distances <=0.3 in 60 bins,
   smoothed with a 31-tap N(0, 0.01) kernel, first-peak/valley scan with the
-  adaptive peak-valley-ratio acceptance rules (cluster.py:452-543).
+  adaptive peak-valley-ratio acceptance rules (:452-543).
 * pvr feedback: starts 0.1, +0.1 whenever <15 of the last 300 candidate
-  clusters were accepted; fallback radius-0.06 clusters once pvr > 0.55
-  (cluster.py:282-283, 403-413, 566-580).
+  clusters were accepted; radius-0.06 fallback once pvr > 0.55
+  (:282-283, :403-413, :566-580).
 
-TPU-first architecture (NOT a port of the reference's row-deletion loop):
+TPU-first architecture (a re-design, not a port):
 
-* the latent matrix lives in device HBM once, feature-padded to the 128-lane
-  boundary and row-padded to a tile multiple; clustered-away points are
-  masked, never deleted, so every shape is static and every step is a
-  compiled program.
-* one iteration = a handful of jitted calls moving only scalars and a 60-bin
-  histogram to the host:
-    - `next_seed`: masked argmin over the seed order (device),
-    - `eval_medoid`: one (N,F)x(F,) matvec -> distances, density, histogram,
-      loner count, plus a Gumbel-top-k sample of untried in-radius candidates
-      (device RNG, no member-list transfer),
-    - `batch_densities`: all <=25 wander candidates evaluated in ONE
-      (N,F)x(F,C) matmul — the reference does one matvec per candidate with
-      an LRU cache (cluster.py:606-637); batching replaces the cache.
-    - `emit`: mask out members, count them.
-* member indices are extracted per cluster with a size-bucketed jitted
-  nonzero (powers of two -> <=21 compiled variants), so total host transfer
-  is O(sum of cluster sizes), not O(N * n_clusters).
-* the 60-value smoothing convolution + valley scan runs on host (trivial),
-  keeping the sequential adaptive control flow in Python exactly like the
-  reference — but every O(N) inner computation is a single device program.
+* **One device program per K clusters.** The reference dispatches thousands
+  of tiny ops per cluster from Python; on an accelerator every host
+  roundtrip costs dispatch latency. Here the ENTIRE clustering loop — seed
+  scan, medoid wander, histogram, smoothing, valley scan, pvr feedback,
+  emission bookkeeping — runs inside a single jitted program
+  (`lax.while_loop`) that emits up to K=128 clusters per call and returns
+  only per-cluster scalar records. Host<->device traffic is O(K scalars +
+  one labels sweep) per batch instead of O(iterations).
+* **Transposed (F, N) layout.** Latent dim (default 32) is far below the
+  128-lane TPU tile, so an (N, F) matrix physically pads F to 128 lanes and
+  reads 4x the data per matvec. Storing (F, N) puts the big dim on lanes:
+  a medoid distance sweep streams exactly F*N floats.
+* **Batched wander.** All <=25 candidates of a wander step are evaluated in
+  ONE (C,F)x(F,N) matmul, and the jump target's distance row is reused as
+  the next medoid's distances — the reference instead does one matvec per
+  candidate with a 64-entry LRU cache (cluster.py:606-637).
+* **Masking, never packing**: clustered points are masked out of every
+  reduction; shapes are static for the life of the run, so exactly one
+  compiled program is used regardless of dataset size.
+* **Row-sharded on a mesh**: with `mesh=...`, the matrix is sharded over
+  the contig axis; distance sweeps compute shard-locally and only the tiny
+  reductions (60-bin histogram, densities, top-k candidates) cross the ICI.
 
-Distance matmuls run with `precision=HIGHEST`: bins are 0.005 wide, so
-bf16-level error (~1e-3 on dot products) would misbin points.
+Distance matmuls run with `precision=HIGHEST`: histogram bins are 0.005
+wide, so bf16-level error (~1e-3) would misbin points.
 """
 
-from collections import deque
 from functools import partial
 from math import ceil
-from typing import Optional, Union
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -68,7 +67,12 @@ _NORMALPDF = (
 ).astype(np.float32)
 
 _LANES = 128
-_ROW_TILE = 8
+_SUBLANES = 8
+_DEFAULT_BATCH = 128  # clusters emitted per device dispatch
+
+_KIND_NORMAL = 0
+_KIND_LONER = 1
+_KIND_FALLBACK = 2
 
 
 class Loner:
@@ -142,99 +146,332 @@ def normalize(matrix: np.ndarray, inplace: bool = False) -> np.ndarray:
     return matrix
 
 
-# --------------------------------------------------------------- device fns
+# ---------------------------------------------------------- device engine
 
 
-@partial(jax.jit, donate_argnums=())
-def _next_seed(order: jax.Array, kept: jax.Array, start: jax.Array) -> jax.Array:
-    """First position i (cyclically from `start`) whose seed order[i] is kept.
+class _State(NamedTuple):
+    "All cross-cluster control state, device-resident between dispatches."
 
-    Returns the position in `order` (not the seed index); -1 if none kept.
+    kept: jax.Array  # (N,) bool
+    labels: jax.Array  # (N,) int32, -1 = unassigned
+    order_pos: jax.Array  # i32: next position in the seed order
+    pvr: jax.Array  # f32: peak_valley_ratio
+    attempts: jax.Array  # (windowsize,) bool circular buffer
+    attempts_len: jax.Array  # i32
+    attempts_head: jax.Array  # i32
+    successes: jax.Array  # i32
+    n_remaining: jax.Array  # i32
+    next_cid: jax.Array  # i32: next cluster id to assign
+    key: jax.Array  # PRNG key
+    n_dists: jax.Array  # i64-ish f64 counter of distance evaluations
+
+
+class _Records(NamedTuple):
+    "Per-cluster outputs of one emit_batch dispatch; all (K,) arrays."
+
+    medoid: jax.Array  # i32
+    seed: jax.Array  # i32
+    kind: jax.Array  # i32: 0 normal / 1 loner / 2 fallback
+    radius: jax.Array  # f32 (nan for loner)
+    observed_pvr: jax.Array  # f32 (nan unless normal)
+    pvr: jax.Array  # f32 at emission
+    successes: jax.Array  # i32
+    attempts: jax.Array  # i32
+    n_emitted: jax.Array  # scalar i32
+
+
+def _make_emit_batch(
+    n_points: int,
+    windowsize: int,
+    minsuccesses: int,
+    maxsteps: int,
+    batch_clusters: int,
+):
+    """Build the fused device program emitting up to `batch_clusters` clusters.
+
+    Signature: emit_batch(matrixT (F,N), lengths (N,), order (n_points,),
+    state) -> (state, records). `matrixT` is the transposed, normalized,
+    padded latent matrix.
     """
-    n = order.shape[0]
-    eligible = kept[order]
-    iota = jnp.arange(n)
-    ahead = jnp.where(eligible & (iota >= start), iota, n)
-    wrapped = jnp.where(eligible, iota, n)
-    pos = jnp.minimum(jnp.min(ahead), jnp.min(wrapped))
-    return jnp.where(pos == n, -1, pos)
+    K = batch_clusters
+    C = maxsteps
+    pdf = jnp.asarray(_NORMALPDF)
 
+    def matvec(matrixT, idx):
+        row = matrixT[:, idx]
+        d = 0.5 - jnp.einsum(
+            "fn,f->n", matrixT, row, precision=jax.lax.Precision.HIGHEST
+        )
+        return d.at[idx].set(0.0)
 
-def _make_eval_medoid(maxsteps: int):
-    @jax.jit
-    def eval_medoid(matrix, lengths, kept, tried, idx, key):
-        """One medoid evaluation: distances + density + histogram + candidates.
+    def density_of(d, lengths, kept):
+        return jnp.sum(
+            jnp.where((d <= _MEDOID_RADIUS) & kept, lengths * (_MEDOID_RADIUS - d), 0.0)
+        )
 
-        Returns (distances, density, hist, n_close, cand, cand_valid).
+    def next_seed(order, kept, start):
+        "First order position (cyclically from start) with a kept seed."
+        eligible = kept[order]
+        iota = jnp.arange(order.shape[0])
+        ahead = jnp.where(eligible & (iota >= start), iota, n_points)
+        wrapped = jnp.where(eligible, iota, n_points)
+        return jnp.minimum(jnp.min(ahead), jnp.min(wrapped))
+
+    def wander(matrixT, lengths, kept, seed, key, n_dists):
+        """Hill-climb from `seed`; returns (medoid, d, n_dists').
+
+        Each step evaluates all sampled candidates in one (C,F)x(F,N)
+        matmul; the jump target's distance row becomes the next medoid's
+        distances for free.
         """
-        row = matrix[idx]
-        d = 0.5 - jnp.dot(matrix, row, precision=jax.lax.Precision.HIGHEST)
-        d = d.at[idx].set(0.0)
+        N = matrixT.shape[1]
+        iota = jnp.arange(N)
+        d0 = matvec(matrixT, seed)
+        density0 = density_of(d0, lengths, kept)
+        tried0 = jnp.zeros(N, bool).at[seed].set(True)
 
-        within = (d <= _MEDOID_RADIUS) & kept
-        density = jnp.sum(jnp.where(within, lengths * (_MEDOID_RADIUS - d), 0.0))
+        def cond(carry):
+            return ~carry[0]
 
-        # loner test: exactly one kept point strictly within 0.05
-        n_close = jnp.sum((d < _MEDOID_RADIUS) & kept)
+        def body(carry):
+            _done, medoid, d, density, tried, key, n_dists = carry
+            key, k1 = jax.random.split(key)
+            elig = (d <= _MEDOID_RADIUS) & kept & ~tried & (iota != medoid)
+            gumbel = -jnp.log(
+                -jnp.log(jax.random.uniform(k1, (N,)) + 1e-20) + 1e-20
+            )
+            score = jnp.where(elig, gumbel, -jnp.inf)
+            _, cand = jax.lax.top_k(score, C)
+            cand_valid = elig[cand]
 
-        # length-weighted histogram of kept distances in [0, 0.3], 60 bins
-        in_range = (d >= 0.0) & (d <= _XMAX) & kept
+            rows = matrixT[:, cand]  # (F, C)
+            D = 0.5 - jnp.einsum(
+                "fc,fn->cn", rows, matrixT, precision=jax.lax.Precision.HIGHEST
+            )
+            D = jnp.where(iota[None, :] == cand[:, None], 0.0, D)
+            within = (D <= _MEDOID_RADIUS) & kept[None, :]
+            dens = jnp.sum(
+                jnp.where(within, lengths[None, :] * (_MEDOID_RADIUS - D), 0.0),
+                axis=1,
+            )
+            better = cand_valid & (dens > density)
+            any_better = jnp.any(better)
+            j = jnp.argmax(better)
+            # mark tried: cand[0..j] on jump, all valid candidates otherwise
+            upto = jnp.where(any_better, j + 1, jnp.sum(cand_valid))
+            mark_idx = jnp.where(jnp.arange(C) < upto, cand, N)
+            tried = tried.at[mark_idx].set(True, mode="drop")
+
+            medoid = jnp.where(any_better, cand[j], medoid)
+            d = jnp.where(any_better, D[j], d)
+            density = jnp.where(any_better, dens[j], density)
+            done = ~any_better
+            return (done, medoid, d, density, tried, key, n_dists + C * N)
+
+        init = (
+            jnp.sum(kept & (d0 <= _MEDOID_RADIUS) & ~tried0) == 0,  # no candidates
+            seed,
+            d0,
+            density0,
+            tried0,
+            key,
+            n_dists + N,
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        return out[1], out[2], out[6]
+
+    def histogram(d, lengths, kept):
+        "Length-weighted 60-bin histogram of kept distances in [0, 0.3]."
         bins = jnp.clip((d / _DELTA_X).astype(jnp.int32), 0, _NBINS - 1)
-        w = jnp.where(in_range, lengths, 0.0)
-        hist = jnp.zeros(_NBINS, jnp.float32).at[bins].add(w)
+        w = jnp.where((d >= 0.0) & (d <= _XMAX) & kept, lengths, 0.0)
+        return jnp.sum(
+            jnp.where(
+                bins[:, None] == jnp.arange(_NBINS)[None, :], w[:, None], 0.0
+            ),
+            axis=0,
+        )
 
-        # sample <= maxsteps untried in-radius candidates: Gumbel top-k
-        iota = jnp.arange(matrix.shape[0])
-        elig = within & ~tried & (iota != idx)
-        gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, d.shape) + 1e-20) + 1e-20)
-        score = jnp.where(elig, gumbel, -jnp.inf)
-        _, cand = jax.lax.top_k(score, maxsteps)
-        cand_valid = elig[cand]
-        return d, density, hist, n_close, cand, cand_valid
+    def find_threshold(hist, pvr):
+        """Smoothed-histogram valley scan (reference cluster.py:483-543).
 
-    return eval_medoid
+        Returns (threshold, observed_pvr, found). threshold < 0 => none.
+        """
+        densities = jnp.convolve(hist, pdf, mode="same")
+        xs = jnp.arange(_NBINS, dtype=jnp.float32) * (_XMAX / _NBINS)
+
+        def step(carry, inp):
+            density, x = inp
+            pd, po, thr, dam, dead, broken = carry
+            act = ~(dead | broken)
+            # 1: first peak is the running max; dies if still rising past 0.1
+            c1 = act & ~po & (density > pd)
+            dead = dead | (c1 & (x > 0.1))
+            act = ~(dead | broken)
+            pd = jnp.where(act & c1, density, pd)
+            # 2: peak over when density < 60% of peak
+            c2 = act & ~po & (density < 0.6 * pd)
+            dam = jnp.where(c2, density, dam)
+            po = po | c2
+            # 3: second peak (density > 1.5x minimum) stops the scan
+            c3 = act & po & (density > 1.5 * dam)
+            broken = broken | c3
+            act = act & ~c3
+            # 4: track the minimum; accept as threshold if below pvr * peak
+            c4 = act & po & (density < dam)
+            dam = jnp.where(c4, density, dam)
+            thr = jnp.where(c4 & (density < pvr * pd), x, thr)
+            return (pd, po, thr, dam, dead, broken), None
+
+        init = (
+            jnp.float32(0.0),
+            jnp.bool_(False),
+            jnp.float32(-1.0),
+            jnp.float32(0.0),
+            jnp.bool_(False),
+            jnp.bool_(False),
+        )
+        (pd, _po, thr, dam, dead, _broken), _ = jax.lax.scan(
+            step, init, (densities, xs)
+        )
+        found = (~dead) & (thr >= 0.0) & (thr <= 0.2 + pvr)
+        observed_pvr = dam / jnp.maximum(pd, 1e-30)
+        return thr, observed_pvr, found
+
+    def update_successes(state: _State, success):
+        "Reference cluster.py:386-413, with a circular buffer for the deque."
+        full = state.attempts_len == windowsize
+        popped = state.attempts[state.attempts_head]
+        successes = state.successes - jnp.where(full, popped.astype(jnp.int32), 0)
+        head = jnp.where(full, (state.attempts_head + 1) % windowsize, state.attempts_head)
+        length = jnp.where(full, state.attempts_len - 1, state.attempts_len)
+        attempts = state.attempts.at[(head + length) % windowsize].set(success)
+        length = length + 1
+        successes = successes + success.astype(jnp.int32)
+        bump = (length == windowsize) & (successes < minsuccesses)
+        return state._replace(
+            attempts=attempts,
+            attempts_len=jnp.where(bump, 0, length),
+            attempts_head=jnp.where(bump, 0, head),
+            successes=jnp.where(bump, 0, successes),
+            pvr=jnp.where(bump, state.pvr + jnp.float32(0.1), state.pvr),
+            order_pos=jnp.where(bump, 0, state.order_pos),
+        )
+
+    @partial(jax.jit, donate_argnums=(3,))
+    def emit_batch(matrixT, lengths, order, state: _State):
+        N = matrixT.shape[1]
+
+        def emit(state: _State, recs: _Records, sel, medoid, seed, kind, radius, opvr):
+            "Write one cluster: mask members, assign labels, record metadata."
+            i = recs.n_emitted
+            cid = state.next_cid
+            count = jnp.sum(sel)
+            state = state._replace(
+                kept=state.kept & ~sel,
+                labels=jnp.where(sel, cid, state.labels),
+                n_remaining=state.n_remaining - count,
+                next_cid=cid + 1,
+            )
+            recs = _Records(
+                medoid=recs.medoid.at[i].set(medoid),
+                seed=recs.seed.at[i].set(seed),
+                kind=recs.kind.at[i].set(kind),
+                radius=recs.radius.at[i].set(radius),
+                observed_pvr=recs.observed_pvr.at[i].set(opvr),
+                pvr=recs.pvr.at[i].set(state.pvr),
+                successes=recs.successes.at[i].set(state.successes),
+                attempts=recs.attempts.at[i].set(state.attempts_len),
+                n_emitted=i + 1,
+            )
+            return state, recs
+
+        def attempt(carry):
+            "One seed -> wander -> threshold -> (emit | reject) round."
+            state, recs = carry
+            pos = next_seed(order, state.kept, state.order_pos)
+            seed = order[pos]
+            state = state._replace(order_pos=pos + 1)
+
+            key, sub = jax.random.split(state.key)
+            state = state._replace(key=key)
+            medoid, d, n_dists = wander(
+                matrixT, lengths, state.kept, seed, sub, state.n_dists
+            )
+            state = state._replace(n_dists=n_dists + N)  # + histogram pass
+
+            n_close = jnp.sum((d < _MEDOID_RADIUS) & state.kept)
+            hist = histogram(d, lengths, state.kept)
+            thr, opvr, found = find_threshold(hist, state.pvr)
+
+            is_loner = n_close == 1
+            is_normal = (~is_loner) & found
+            is_fallback = (~is_loner) & (~found) & (state.pvr > 0.55)
+            is_reject = (~is_loner) & (~found) & (state.pvr <= 0.55)
+
+            sel_loner = jnp.zeros(N, bool).at[medoid].set(True) & state.kept
+            radius = jnp.where(
+                is_normal, thr, jnp.where(is_fallback, _DEFAULT_RADIUS, jnp.nan)
+            )
+            sel_thr = (d <= jnp.where(jnp.isnan(radius), -1.0, radius)) & state.kept
+            sel = jnp.where(is_loner, sel_loner, sel_thr)
+            emitted = ~is_reject
+
+            # success accounting BEFORE recording (reference emits the
+            # then-current successes/attempts into the Cluster record, but
+            # updates the window before returning for normal clusters at
+            # :599-600 -> actually after constructing the record; we record
+            # pre-update values to match :589-598)
+            pre_state = state
+            new_state, new_recs = emit(
+                state,
+                recs,
+                sel,
+                medoid,
+                seed,
+                jnp.where(
+                    is_loner,
+                    _KIND_LONER,
+                    jnp.where(is_fallback, _KIND_FALLBACK, _KIND_NORMAL),
+                ),
+                radius,
+                jnp.where(is_normal, opvr, jnp.nan),
+            )
+            state = jax.tree.map(
+                lambda a, b: jnp.where(emitted, a, b), new_state, pre_state
+            )
+            recs = jax.tree.map(
+                lambda a, b: jnp.where(emitted, a, b), new_recs, recs
+            )
+
+            # pvr feedback: False on reject; True on normal emit while pvr<0.55
+            do_update = is_reject | (is_normal & (state.pvr < 0.55))
+            upd_state = update_successes(state, is_normal & (state.pvr < 0.55))
+            state = jax.tree.map(
+                lambda a, b: jnp.where(do_update, a, b), upd_state, state
+            )
+            return state, recs
+
+        def cond(carry):
+            state, recs = carry
+            return (recs.n_emitted < K) & (state.n_remaining > 0)
+
+        recs0 = _Records(
+            medoid=jnp.zeros(K, jnp.int32),
+            seed=jnp.zeros(K, jnp.int32),
+            kind=jnp.zeros(K, jnp.int32),
+            radius=jnp.zeros(K, jnp.float32),
+            observed_pvr=jnp.zeros(K, jnp.float32),
+            pvr=jnp.zeros(K, jnp.float32),
+            successes=jnp.zeros(K, jnp.int32),
+            attempts=jnp.zeros(K, jnp.int32),
+            n_emitted=jnp.int32(0),
+        )
+        return jax.lax.while_loop(cond, attempt, (state, recs0))
+
+    return emit_batch
 
 
-@jax.jit
-def _batch_densities(matrix, lengths, kept, cand):
-    "Densities of all candidate medoids in one (N,F)x(F,C) matmul."
-    rows = matrix[cand]  # (C, F)
-    d = 0.5 - jnp.dot(matrix, rows.T, precision=jax.lax.Precision.HIGHEST)  # (N, C)
-    iota = jnp.arange(matrix.shape[0])
-    d = jnp.where(iota[:, None] == cand[None, :], 0.0, d)
-    within = (d <= _MEDOID_RADIUS) & kept[:, None]
-    return jnp.sum(
-        jnp.where(within, lengths[:, None] * (_MEDOID_RADIUS - d), 0.0), axis=0
-    )
-
-
-@jax.jit
-def _emit(kept, d, threshold):
-    "Mask out members (kept & d <= threshold); returns (new_kept, sel, count)."
-    sel = (d <= threshold) & kept
-    return kept & ~sel, sel, jnp.sum(sel)
-
-
-@jax.jit
-def _emit_loner(kept, idx):
-    sel = jnp.zeros_like(kept).at[idx].set(True) & kept
-    return kept & ~sel, sel, jnp.sum(sel)
-
-
-@partial(jax.jit, static_argnames="size")
-def _nonzero_sized(sel, size):
-    return jnp.nonzero(sel, size=size, fill_value=-1)[0]
-
-
-@jax.jit
-def _mark_tried(tried, cand, upto):
-    "Mark cand[0:upto] as tried (static shape; OOB indices drop the write)."
-    valid = jnp.arange(cand.shape[0]) < upto
-    idx = jnp.where(valid, cand, tried.shape[0])
-    return tried.at[idx].set(True, mode="drop")
-
-
-# ------------------------------------------------------------- host control
+# ------------------------------------------------------------- host wrapper
 
 
 class ClusterGenerator:
@@ -242,13 +479,15 @@ class ClusterGenerator:
 
     Inputs mirror the reference (cluster.py:122-133):
         matrix: (obs x features) float32 latent matrix
-        lengths: contig lengths (used as density/histogram weights)
-        maxsteps: futile medoid-wander attempts before giving up [25]
+        lengths: contig lengths (density/histogram weights)
+        maxsteps: candidates sampled per medoid-wander step [25]
         windowsize: window length for success counting [300]
-        minsuccesses: minimum successes per window before pvr bump [15]
+        minsuccesses: min successes per window before pvr bump [15]
         destroy: normalize `matrix` in place to save memory
         normalized: matrix is already normalized
         rng_seed: seed for the candidate-sampling RNG
+        mesh: optional 1-D jax Mesh to row-shard the engine over
+        batch_clusters: clusters emitted per device dispatch [128]
     """
 
     def __init__(
@@ -261,6 +500,8 @@ class ClusterGenerator:
         destroy: bool = False,
         normalized: bool = False,
         rng_seed: int = 0,
+        mesh=None,
+        batch_clusters: int = _DEFAULT_BATCH,
     ):
         if matrix.dtype != np.float32:
             raise ValueError("Matrix must be of dtype float32")
@@ -281,34 +522,63 @@ class ClusterGenerator:
             matrix = normalize(matrix, inplace=destroy)
 
         n, f = matrix.shape
-        n_pad = _pad_to(n, _ROW_TILE)
-        f_pad = _pad_to(f, _LANES)
-        padded = np.zeros((n_pad, f_pad), np.float32)
-        padded[:n, :f] = matrix
+        col_tile = _LANES * (mesh.devices.size if mesh is not None else 1)
+        n_pad = _pad_to(n, col_tile)
+        f_pad = _pad_to(f, _SUBLANES)
+        padded_t = np.zeros((f_pad, n_pad), np.float32)
+        padded_t[:f, :n] = matrix.T
+
+        if mesh is None:
+            put_cols = jnp.asarray
+            put_rows = jnp.asarray
+            put_repl = jnp.asarray
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            put_cols = lambda a: jax.device_put(  # noqa: E731
+                a, NamedSharding(mesh, P(None, axis))
+            )
+            put_rows = lambda a: jax.device_put(  # noqa: E731
+                a, NamedSharding(mesh, P(axis))
+            )
+            put_repl = lambda a: jax.device_put(a, NamedSharding(mesh, P()))  # noqa: E731
 
         self.n_points = n
         self.maxsteps = maxsteps
         self.minsuccesses = minsuccesses
-        self.matrix = jnp.asarray(padded)
-        self.lengths = jnp.asarray(
-            np.pad(lengths.astype(np.float32), (0, n_pad - n))
-        )
+        self.peak_valley_ratio = 0.1  # mirrors device state, for reporting
+        self.matrixT = put_cols(padded_t)
+        self.lengths = put_rows(np.pad(lengths.astype(np.float32), (0, n_pad - n)))
         kept = np.zeros(n_pad, bool)
         kept[:n] = True
-        self.kept = jnp.asarray(kept)
         # seed order: positions sorted by descending length (reference :275)
-        self.order = jnp.asarray(
+        self.order = put_repl(
             np.argsort(lengths.astype(np.float32), kind="stable")[::-1].copy()
         )
-        self.order_pos = 0
+        self._state = _State(
+            kept=put_rows(kept),
+            labels=put_rows(np.full(n_pad, -1, np.int32)),
+            order_pos=jnp.int32(0),
+            pvr=jnp.float32(0.1),
+            attempts=put_repl(np.zeros(windowsize, bool)),
+            attempts_len=jnp.int32(0),
+            attempts_head=jnp.int32(0),
+            successes=jnp.int32(0),
+            n_remaining=jnp.int32(n),
+            next_cid=jnp.int32(0),
+            # old-style uint32 key: must be a plain array so it can ride
+            # through jnp.where-based state merges inside the device program
+            key=jax.random.PRNGKey(rng_seed),
+            n_dists=jnp.float32(0),
+        )
+        self._emit_batch = _make_emit_batch(
+            n, windowsize, minsuccesses, min(maxsteps, n_pad), batch_clusters
+        )
+        self._pending: list[Cluster] = []
+        self._emitted_total = 0
         self.n_emitted_clusters = 0
         self.n_remaining_points = n
-        self.peak_valley_ratio = 0.1
-        self.attempts: deque[bool] = deque(maxlen=windowsize)
-        self.successes = 0
-        self.key = jax.random.key(rng_seed)
-        self._eval_medoid = _make_eval_medoid(min(maxsteps, n_pad))
-        self._key_counter = 0
 
     def __repr__(self) -> str:
         return (
@@ -316,148 +586,64 @@ class ClusterGenerator:
             f"{self.n_emitted_clusters} clusters)"
         )
 
-    def _next_key(self) -> jax.Array:
-        self._key_counter += 1
-        return jax.random.fold_in(self.key, self._key_counter)
+    @property
+    def n_dists(self) -> float:
+        "Total medoid-to-point distance evaluations so far."
+        return float(self._state.n_dists)
 
     def __iter__(self):
         return self
 
     def __next__(self) -> Cluster:
-        if self.n_remaining_points == 0:
-            raise StopIteration
-        assert self.n_remaining_points > 0
-        cluster, sel, count = self._find_cluster()
+        if not self._pending:
+            if self.n_remaining_points == 0:
+                raise StopIteration
+            self._dispatch()
+        cluster = self._pending.pop(0)
         self.n_emitted_clusters += 1
-        self.n_remaining_points -= count
-        members = self._members(sel, count)
-        cluster.members = members
+        self.n_remaining_points -= len(cluster.members)
         return cluster
 
-    def _members(self, sel: jax.Array, count: int) -> np.ndarray:
-        size = 1 << max(0, (count - 1).bit_length())
-        idx = np.asarray(_nonzero_sized(sel, min(size, sel.shape[0])))
-        return idx[:count].astype(np.int64)
-
-    def _get_next_seed(self) -> int:
-        pos = int(_next_seed(self.order, self.kept, jnp.int32(self.order_pos)))
-        assert pos >= 0, "no kept seed although points remain"
-        self.order_pos = pos + 1
-        if self.order_pos >= self.n_points:
-            self.order_pos = 0
-        return int(self.order[pos])
-
-    def _update_successes(self, success: bool) -> None:
-        "pvr feedback loop (reference cluster.py:386-413)."
-        if len(self.attempts) == self.attempts.maxlen:
-            self.successes -= self.attempts.popleft()
-        self.successes += success
-        self.attempts.append(success)
-        if (
-            len(self.attempts) == self.attempts.maxlen
-            and self.successes < self.minsuccesses
-        ):
-            self.peak_valley_ratio += 0.1
-            self.attempts.clear()
-            self.successes = 0
-            self.order_pos = 0
-
-    def _wander_medoid(self, seed: int):
-        """Hill-climb on local density; all candidates of a step evaluated in
-        one batched matmul (replaces the reference's per-candidate matvec +
-        64-entry cache, cluster.py:606-637)."""
-        tried = jnp.zeros(self.matrix.shape[0], bool).at[seed].set(True)
-        medoid = seed
-        d, density, hist, n_close, cand, cand_valid = self._eval_medoid(
-            self.matrix, self.lengths, self.kept, tried, jnp.int32(seed),
-            self._next_key(),
+    def _dispatch(self) -> None:
+        "Run one device batch and decode its records into Cluster objects."
+        self._state, recs = self._emit_batch(
+            self.matrixT, self.lengths, self.order, self._state
         )
-        while True:
-            valid = np.asarray(cand_valid)
-            if not valid.any():
-                break
-            densities = np.asarray(
-                _batch_densities(self.matrix, self.lengths, self.kept, cand)
-            )
-            better = valid & (densities > float(density))
-            if not better.any():
-                break  # tried all candidates without improvement
-            j = int(np.argmax(better))  # first improving candidate in order
-            tried = _mark_tried(tried, cand, jnp.int32(j + 1))
-            medoid = int(cand[j])
-            d, density, hist, n_close, cand, cand_valid = self._eval_medoid(
-                self.matrix, self.lengths, self.kept, tried, jnp.int32(medoid),
-                self._next_key(),
-            )
-        return medoid, d, hist, int(n_close)
-
-    def _find_threshold(
-        self, hist: np.ndarray
-    ) -> Union[Loner, NoThreshold, tuple[float, float]]:
-        """Smooth the histogram and scan for the first density valley
-        (reference cluster.py:483-543). Runs on host: 60 values."""
-        densities = np.convolve(hist, _NORMALPDF, mode="full")[15:-15]
-
-        peak_density = 0.0
-        peak_over = False
-        minimum_x = 0.0
-        threshold = None
-        density_at_minimum = 0.0
-        x = 0.0
-        for density in densities:
-            if not peak_over and density > peak_density:
-                if x > 0.1:
-                    return NoThreshold()
-                peak_density = density
-            if not peak_over and density < 0.6 * peak_density:
-                peak_over = True
-                density_at_minimum = density
-            if peak_over and density > 1.5 * density_at_minimum:
-                break
-            if peak_over and density < density_at_minimum:
-                minimum_x, density_at_minimum = x, density
-                if density < self.peak_valley_ratio * peak_density:
-                    threshold = minimum_x
-            x += _XMAX / _NBINS
-
-        if threshold is None:
-            return NoThreshold()
-        if threshold > 0.2 + self.peak_valley_ratio:
-            return NoThreshold()
-        return (threshold, density_at_minimum / peak_density)
-
-    def _find_cluster(self) -> tuple[Cluster, jax.Array, int]:
-        while True:
-            seed = self._get_next_seed()
-            medoid, d, hist, n_close = self._wander_medoid(seed)
-
-            if n_close == 1:
-                # loner (reference cluster.py:457-458, 550-562)
-                self.kept, sel, count = _emit_loner(self.kept, jnp.int32(medoid))
-                cluster = Cluster(
-                    medoid, seed, None, self.peak_valley_ratio, None, None,
-                    self.successes, len(self.attempts),
+        n_emitted = int(recs.n_emitted)
+        assert n_emitted > 0
+        labels = np.asarray(self._state.labels)
+        # group member indices of this batch's cluster ids in one sweep
+        first_cid = self._emitted_total
+        assigned = np.flatnonzero(labels >= first_cid)
+        ids = labels[assigned]
+        sort = np.argsort(ids, kind="stable")
+        sorted_ids = ids[sort]
+        sorted_idx = assigned[sort]
+        bounds = np.searchsorted(
+            sorted_ids, np.arange(first_cid, first_cid + n_emitted + 1)
+        )
+        medoids = np.asarray(recs.medoid)
+        seeds = np.asarray(recs.seed)
+        kinds = np.asarray(recs.kind)
+        radii = np.asarray(recs.radius)
+        opvrs = np.asarray(recs.observed_pvr)
+        pvrs = np.asarray(recs.pvr)
+        succs = np.asarray(recs.successes)
+        atts = np.asarray(recs.attempts)
+        for i in range(n_emitted):
+            members = sorted_idx[bounds[i] : bounds[i + 1]].astype(np.int64)
+            kind = int(kinds[i])
+            self._pending.append(
+                Cluster(
+                    int(medoids[i]),
+                    int(seeds[i]),
+                    members,
+                    float(pvrs[i]),
+                    float(opvrs[i]) if kind == _KIND_NORMAL else None,
+                    None if kind == _KIND_LONER else float(radii[i]),
+                    int(succs[i]),
+                    int(atts[i]),
                 )
-                return cluster, sel, int(count)
-
-            threshold = self._find_threshold(np.asarray(hist))
-            if isinstance(threshold, NoThreshold):
-                if self.peak_valley_ratio > 0.55:
-                    self.kept, sel, count = _emit(self.kept, d, _DEFAULT_RADIUS)
-                    cluster = Cluster(
-                        medoid, seed, None, self.peak_valley_ratio, None,
-                        _DEFAULT_RADIUS, self.successes, len(self.attempts),
-                    )
-                    return cluster, sel, int(count)
-                self._update_successes(False)
-                continue
-
-            thr, observed_pvr = threshold
-            self.kept, sel, count = _emit(self.kept, d, thr)
-            cluster = Cluster(
-                medoid, seed, None, self.peak_valley_ratio, observed_pvr, thr,
-                self.successes, len(self.attempts),
             )
-            if self.peak_valley_ratio < 0.55:
-                self._update_successes(True)
-            return cluster, sel, int(count)
+        self._emitted_total += n_emitted
+        self.peak_valley_ratio = float(self._state.pvr)

@@ -271,8 +271,16 @@ class VAE:
         batchsteps: Optional[list[int]] = [25, 75, 150, 300],
         modelfile: Union[None, str, Path, IO[bytes]] = None,
         logger: Optional[Callable[[str], None]] = None,
+        mesh=None,
     ) -> None:
-        "Train in place. Mirrors reference trainmodel (encode.py:543-610)."
+        """Train in place. Mirrors reference trainmodel (encode.py:543-610).
+
+        With `mesh` (a 1-D `jax.sharding.Mesh`), training is data-parallel:
+        the dataset is row-sharded over the mesh, parameters replicated, and
+        XLA GSPMD inserts the gradient collectives. The epoch program is
+        written over the global batch, so BatchNorm statistics remain
+        global-batch exact under sharding.
+        """
         if nepochs < 1:
             raise ValueError(f"Minimum 1 epoch, not {nepochs}")
         if dataset.n_obs < 2:
@@ -312,8 +320,16 @@ class VAE:
         optimizer = dadapt_adam()
         opt_state = optimizer.init(self.params)
         epoch_fn = self._make_epoch_fn(optimizer)
-        data = tuple(jnp.asarray(a) for a in dataset)
         params, bn_state = self.params, self.bn_state
+        if mesh is None:
+            data = tuple(jnp.asarray(a) for a in dataset)
+        else:
+            from ..parallel.mesh import replicate, shard_rows
+
+            data = tuple(shard_rows(np.asarray(a), mesh) for a in dataset)
+            params = replicate(params, mesh)
+            bn_state = replicate(bn_state, mesh)
+            opt_state = replicate(opt_state, mesh)
 
         for epoch in range(nepochs):
             bs = batchsize_at_epoch(batchsize, batchsteps_list, epoch)

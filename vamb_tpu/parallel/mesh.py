@@ -1,0 +1,51 @@
+"""Mesh construction and sharding helpers."""
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "dp"
+
+
+def distributed_init(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX. No-op for single-process runs.
+
+    On TPU pods the arguments are auto-detected from the environment.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
+    "1-D mesh over the first `n_devices` devices (all by default)."
+    devices = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"Requested {n_devices} devices but only {len(devices)} available"
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def shard_rows(array, mesh: Mesh, axis: str = DATA_AXIS):
+    "Place an array with its leading dimension sharded over `axis`."
+    ndim = np.ndim(array)
+    spec = P(axis, *([None] * (ndim - 1)))
+    return jax.device_put(array, NamedSharding(mesh, spec))
+
+
+def replicate(tree: Any, mesh: Mesh):
+    "Replicate every leaf of a pytree across the mesh."
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
