@@ -1,0 +1,174 @@
+"""Tests for the taxonomy-tree algebra and hierarchical losses.
+
+Tree used throughout (indices in BFS order):
+
+    0 root
+    ├── 1 A
+    │   ├── 3 C (leaf)
+    │   └── 4 D
+    │       └── 6 F (leaf)
+    └── 2 B
+        └── 5 E (leaf)
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vamb_tpu.models import hier
+from vamb_tpu.taxonomy import ContigTaxonomy
+
+PARENTS = [-1, 0, 0, 1, 1, 2, 4]
+
+
+@pytest.fixture
+def tree():
+    return hier.Hierarchy(np.array(PARENTS))
+
+
+class TestHierarchy:
+    def test_basic(self, tree):
+        assert tree.num_nodes() == 7
+        np.testing.assert_array_equal(tree.num_children(), [2, 2, 1, 0, 1, 0, 0])
+        np.testing.assert_array_equal(
+            tree.leaf_mask(), [0, 0, 0, 1, 0, 1, 1]
+        )
+        np.testing.assert_array_equal(tree.depths(), [0, 1, 1, 2, 2, 2, 3])
+        assert tree.num_leaf_nodes() == 3
+        np.testing.assert_array_equal(
+            tree.num_leaf_descendants(), [3, 2, 1, 1, 1, 1, 1]
+        )
+
+    def test_ancestor_mask(self, tree):
+        m = tree.ancestor_mask(strict=False)
+        assert m[0, 6] and m[1, 6] and m[4, 6] and m[6, 6]
+        assert not m[2, 6] and not m[3, 6]
+        strict = tree.ancestor_mask(strict=True)
+        assert not strict[6, 6] and strict[4, 6]
+
+    def test_paths_padded(self, tree):
+        p = tree.paths_padded(-1)
+        np.testing.assert_array_equal(p[6], [0, 1, 4, 6])
+        np.testing.assert_array_equal(p[3], [0, 1, 3, -1])
+
+    def test_topology_validation(self):
+        with pytest.raises(ValueError):
+            hier.Hierarchy(np.array([-1, 2, 1]))  # parent after child
+
+    def test_find_lca(self, tree):
+        lca = hier.FindLCA(tree)
+        assert lca(np.array([3]), np.array([6]))[0] == 1
+        assert lca(np.array([5]), np.array([6]))[0] == 0
+        assert lca(np.array([4]), np.array([6]))[0] == 4
+
+
+class TestMakeGraph:
+    def test_bfs_order_and_parents(self):
+        taxes = [
+            ContigTaxonomy(["A", "D", "F"]),
+            ContigTaxonomy(["A", "C"]),
+            ContigTaxonomy(["B", "E"]),
+            None,
+            ContigTaxonomy([]),
+        ]
+        nodes, ind, parents = hier.make_graph(taxes)
+        assert nodes[0] == "root"
+        assert set(nodes) == {"root", "A", "B", "C", "D", "E", "F"}
+        # parent table is topologically sorted
+        assert all(p < i for i, p in enumerate(parents) if p >= 0)
+        assert parents[ind["F"]] == ind["D"]
+        assert parents[ind["D"]] == ind["A"]
+        assert parents[ind["A"]] == 0
+
+    def test_ambiguous_parent_raises(self):
+        taxes = [ContigTaxonomy(["A", "X"]), ContigTaxonomy(["B", "X"])]
+        with pytest.raises(ValueError, match="multiple parents"):
+            hier.make_graph(taxes)
+
+
+class TestLosses:
+    def test_flat_softmax_leaf_label(self, tree):
+        "For a leaf label, FlatSoftmaxNLL equals standard cross-entropy."
+        loss = hier.FlatSoftmaxNLL(tree)
+        # leaves are nodes 3, 5, 6 -> columns 0, 1, 2
+        scores = jnp.asarray([[1.0, 2.0, 0.5]])
+        onehot = jnp.zeros((1, 7)).at[0, 5].set(1.0)  # label node 5 -> leaf col 1
+        got = float(loss(scores, onehot))
+        expected = -np.log(np.exp(2.0) / np.exp([1.0, 2.0, 0.5]).sum())
+        np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+    def test_flat_softmax_internal_label_sums_descendants(self, tree):
+        "For internal label A (node 1), NLL = -log(p_leaf3 + p_leaf6)."
+        loss = hier.FlatSoftmaxNLL(tree)
+        scores = jnp.asarray([[1.0, 2.0, 0.5]])
+        p = np.exp([1.0, 2.0, 0.5])
+        p /= p.sum()
+        onehot = jnp.zeros((1, 7)).at[0, 1].set(1.0)
+        got = float(loss(scores, onehot))
+        np.testing.assert_allclose(got, -np.log(p[0] + p[2]), rtol=1e-6)
+
+    def test_hier_log_softmax_probabilities_sum_to_one(self, tree):
+        "exp(hier_log_softmax) over leaves must sum to 1."
+        hls = hier.HierLogSoftmax(tree)
+        rng = np.random.default_rng(0)
+        scores = jnp.asarray(rng.standard_normal((4, 6)).astype(np.float32))
+        logp = np.asarray(hls(scores))
+        probs = np.exp(logp)
+        leaf_idx = [3, 5, 6]
+        np.testing.assert_allclose(probs[:, leaf_idx].sum(1), 1.0, rtol=1e-5)
+        # root likelihood is 1
+        np.testing.assert_allclose(probs[:, 0], 1.0, rtol=1e-6)
+        # child likelihood <= parent likelihood
+        assert np.all(probs[:, 6] <= probs[:, 4] + 1e-6)
+
+    def test_hier_softmax_ce_matches_manual(self, tree):
+        "CE for a leaf label = -sum of conditional logp along its path."
+        ce = hier.HierSoftmaxCrossEntropy(tree)
+        hls = hier.HierLogSoftmax(tree)
+        rng = np.random.default_rng(1)
+        scores = jnp.asarray(rng.standard_normal((1, 6)).astype(np.float32))
+        onehot = jnp.zeros((1, 7)).at[0, 6].set(1.0)
+        got = float(ce(scores, onehot))
+        logp = np.asarray(hls(scores))
+        np.testing.assert_allclose(got, -logp[0, 6], rtol=1e-5)
+
+    def test_margin_loss_zero_margin_for_correct(self, tree):
+        "With scores hugely favoring the label, soft margin loss -> ~0."
+        loss = hier.MarginLoss(tree, tau=0.01)
+        scores = jnp.asarray([[0.0, 0, 0, 0, 0, 100.0, 0]])
+        onehot = jnp.zeros((1, 7)).at[0, 5].set(1.0)
+        assert float(loss(scores, onehot)) < 0.01
+
+    def test_sum_descendants(self, tree):
+        sd = hier.SumDescendants(tree)
+        values = jnp.asarray([[1.0, 1, 1, 1, 1, 1, 1]])
+        out = np.asarray(sd(values))
+        # descendants-incl-self counts: root 7, A 4, B 2, C 1, D 2, E 1, F 1
+        np.testing.assert_allclose(out[0], [7, 4, 2, 1, 2, 1, 1])
+
+
+class TestPickers:
+    def test_argmax_with_confidence(self):
+        spec = np.array([-3.0, -2, -1, -1])
+        p = np.array([[0.9, 0.8, 0.4, 0.6]])
+        # most specific with p > 0.5: node 3 (spec -1, p 0.6)
+        got = hier.argmax_with_confidence(spec, p, 0.5, None)
+        assert got[0] == 3
+
+    def test_argmax_with_confidence_threshold(self):
+        spec = np.array([-3.0, -2, -1])
+        p = np.array([[0.9, 0.6, 0.2]])
+        got = hier.argmax_with_confidence(spec, p, 0.5, None)
+        assert got[0] == 1
+
+    def test_pareto_optimal(self):
+        info = np.array([0.0, 1, 2, 3])
+        prob = np.array([1.0, 0.8, 0.5, 0.1])
+        keep = hier.pareto_optimal_predictions(info, prob)
+        np.testing.assert_array_equal(sorted(keep), [0, 1, 2, 3])
+        # a dominated node (less info, less prob) is dropped
+        info2 = np.array([0.0, 2, 1])
+        prob2 = np.array([1.0, 0.8, 0.5])
+        keep2 = hier.pareto_optimal_predictions(info2, prob2)
+        assert 2 not in keep2

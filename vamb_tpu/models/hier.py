@@ -1,0 +1,418 @@
+"""Taxonomy-tree algebra + hierarchical classification losses (JAX).
+
+Behavioral parity: reference vamb/hloss_misc.py (itself adapted from
+jvlmdr/hiercls) and `make_graph` of vamb/taxvamb_encode.py:29-61. The tree
+side is host numpy; every loss is a precomputed mask/matmul + logsumexp —
+ideal XLA shapes (SURVEY §7.1.7):
+
+* `Hierarchy` — nodes 0..n-1, topologically sorted parent array.
+* `make_graph` — taxonomy lineages -> BFS-ordered node list + parent table.
+* `flat_softmax_nll` — cross-entropy over leaves supporting internal labels
+  (logsumexp over the label's leaf descendants; hloss_misc.py:1102-1133).
+* `hier_softmax_cross_entropy` — YOLO-style conditional softmax CE
+  (hloss_misc.py:667-757): scores are per-child logits padded into
+  (internal, max_children) blocks, log_softmax per block, summed over the
+  label's ancestors weighted by the target distribution.
+* `margin_loss` — soft margin with "incorrect" margin and tau
+  (hloss_misc.py:1026-1099).
+* prediction helpers: `sum_descendants`, `hier_log_softmax`,
+  `argmax_with_confidence`, `pareto_optimal_predictions` (host-side pickers).
+"""
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..taxonomy import ContigTaxonomy
+
+
+class Hierarchy:
+    "Tree of nodes 0..n-1 given by a topologically-sorted parent array."
+
+    def __init__(self, parents: np.ndarray):
+        parents = np.asarray(parents, dtype=int)
+        n = len(parents)
+        if not np.all(parents[1:] < np.arange(1, n)):
+            raise ValueError("parents must be topologically sorted (parent < child)")
+        if n > 0 and parents[0] != -1:
+            raise ValueError("node 0 must be the root (parent -1)")
+        self._parents = parents
+
+    def num_nodes(self) -> int:
+        return len(self._parents)
+
+    def parents(self, root_loop: bool = False) -> np.ndarray:
+        if root_loop:
+            return np.where(
+                self._parents >= 0, self._parents, np.arange(len(self._parents))
+            )
+        return self._parents.copy()
+
+    def edges(self) -> list[tuple[int, int]]:
+        return list(zip(self._parents[1:], range(1, len(self._parents))))
+
+    def children(self) -> dict[int, np.ndarray]:
+        result: dict[int, list[int]] = {}
+        for i, j in self.edges():
+            result.setdefault(i, []).append(j)
+        return {k: np.array(v, dtype=int) for k, v in result.items()}
+
+    def num_children(self) -> np.ndarray:
+        n = len(self._parents)
+        unique, counts = np.unique(self._parents[1:], return_counts=True)
+        result = np.zeros(n, dtype=int)
+        result[unique] = counts
+        return result
+
+    def leaf_mask(self) -> np.ndarray:
+        return self.num_children() == 0
+
+    def leaf_subset(self) -> np.ndarray:
+        return np.flatnonzero(self.leaf_mask())
+
+    def internal_subset(self) -> np.ndarray:
+        return np.flatnonzero(~self.leaf_mask())
+
+    def num_leaf_nodes(self) -> int:
+        return int(np.count_nonzero(self.leaf_mask()))
+
+    def num_internal_nodes(self) -> int:
+        return int(np.count_nonzero(~self.leaf_mask()))
+
+    def depths(self) -> np.ndarray:
+        return self.accumulate_ancestors(np.add, (self._parents >= 0).astype(int))
+
+    def num_leaf_descendants(self) -> np.ndarray:
+        return self.accumulate_descendants(np.add, self.leaf_mask().astype(int))
+
+    def accumulate_ancestors(self, func: Callable, values) -> np.ndarray:
+        "Root-to-leaf accumulation along edges."
+        partials = np.array(values)
+        for i, j in self.edges():
+            partials[j] = func(partials[i], partials[j])
+        return partials
+
+    def accumulate_descendants(self, func: Callable, values) -> np.ndarray:
+        "Leaf-to-root accumulation along edges."
+        partials = np.array(values)
+        for i, j in reversed(self.edges()):
+            partials[i] = func(partials[i], partials[j])
+        return partials
+
+    def ancestor_mask(self, strict: bool = False) -> np.ndarray:
+        "is_ancestor[i, j]: path i..j exists (i == j counts unless strict)."
+        n = len(self._parents)
+        is_descendant = np.zeros((n, n), dtype=bool)
+        if not strict:
+            is_descendant[0, 0] = 1
+        for i, j in self.edges():
+            is_descendant[j, :] = is_descendant[i, :]
+            if strict:
+                is_descendant[j, i] = 1
+            else:
+                is_descendant[j, j] = 1
+        return is_descendant.T
+
+    def paths_padded(self, pad_value: int = -1, exclude_root: bool = False) -> np.ndarray:
+        "Root-to-node paths as a (-1)-padded (n, max_depth) index matrix."
+        n = self.num_nodes()
+        is_descendant = self.ancestor_mask(strict=False).T
+        if exclude_root:
+            paths = [np.flatnonzero(mask[1:]) + 1 for mask in is_descendant]
+        else:
+            paths = [np.flatnonzero(mask) for mask in is_descendant]
+        max_len = max(len(p) for p in paths)
+        padded = np.full((n, max_len), pad_value, dtype=int)
+        for i, p in enumerate(paths):
+            padded[i, : len(p)] = p
+        return padded
+
+
+def make_graph(
+    taxes: Sequence[Optional[ContigTaxonomy]],
+) -> tuple[list[str], dict[str, int], list[int]]:
+    """Build the taxonomy DAG and BFS-order it into (nodes, index, parents).
+
+    Matches reference taxvamb_encode.py:29-61: a virtual "root" node is node
+    0; nodes are BFS-ordered with children in first-seen order, so the
+    parent table is topologically sorted by construction.
+    """
+    children: dict[str, list[str]] = {"root": []}
+    parent_of: dict[str, str] = {}
+    for tax in taxes:
+        if tax is None or len(tax.ranks) == 0:
+            continue
+        lineage = ["root"] + list(tax.ranks)
+        for parent, child in zip(lineage, lineage[1:]):
+            if child not in parent_of:
+                parent_of[child] = parent
+                children.setdefault(parent, []).append(child)
+                children.setdefault(child, [])
+            elif parent_of[child] != parent:
+                raise ValueError(
+                    f'Taxonomy is ambiguous: "{child}" has multiple parents'
+                )
+    # BFS from root, children in insertion order
+    nodes: list[str] = ["root"]
+    queue = ["root"]
+    while queue:
+        u = queue.pop(0)
+        for v in children.get(u, ()):
+            nodes.append(v)
+            queue.append(v)
+    ind_nodes = {v: i for i, v in enumerate(nodes)}
+    table_parent = [
+        -1 if n == "root" else ind_nodes[parent_of[n]] for n in nodes
+    ]
+    return nodes, ind_nodes, table_parent
+
+
+def find_subset_index(base: list, subset: list) -> np.ndarray:
+    "Index of subset elements in base list (injective map)."
+    name_to_index = {x: i for i, x in enumerate(base)}
+    return np.asarray([name_to_index[x] for x in subset], dtype=int)
+
+
+class FindLCA:
+    def __init__(self, tree: Hierarchy):
+        self.paths = tree.paths_padded(-1, exclude_root=False)
+
+    def __call__(self, inds_a: np.ndarray, inds_b: np.ndarray) -> np.ndarray:
+        paths_a = self.paths[inds_a]
+        paths_b = self.paths[inds_b]
+        num_common = np.count_nonzero(
+            (paths_a == paths_b) & (paths_a >= 0) & (paths_b >= 0), axis=-1
+        )
+        return self.paths[inds_a, num_common - 1]
+
+
+def find_projection(tree: Hierarchy, node_subset: np.ndarray) -> np.ndarray:
+    "Project each node to its nearest ancestor within `node_subset`."
+    assert np.all(node_subset >= 0)
+    paths = tree.paths_padded(-1)
+    reindex = np.full(tree.num_nodes(), -1)
+    reindex[node_subset] = np.arange(len(node_subset))
+    subset_paths = np.where(paths >= 0, reindex[paths], -1)
+    valid = subset_paths >= 0
+    assert np.all(np.any(valid, axis=1))
+    deepest = valid.shape[1] - 1 - np.argmax(valid[:, ::-1], axis=1)
+    return subset_paths[np.arange(tree.num_nodes()), deepest]
+
+
+# ----------------------------------------------------------------- losses
+
+
+def uniform_leaf(tree: Hierarchy) -> np.ndarray:
+    "Uniform distribution over leaves, accumulated up the tree."
+    is_ancestor = tree.ancestor_mask(strict=False)
+    is_leaf = tree.leaf_mask()
+    return is_ancestor[:, is_leaf].sum(axis=1) / is_leaf.sum()
+
+
+class SumDescendants:
+    """values @ descendant-mask: out[..., i] = sum of values over descendants
+    of i restricted to `subset` columns (hloss_misc.py:628-664)."""
+
+    def __init__(
+        self, tree: Hierarchy, subset: Optional[np.ndarray] = None, strict: bool = False
+    ):
+        matrix = tree.ancestor_mask(strict=strict)
+        if subset is not None:
+            matrix = matrix[:, subset]
+        self.matrix = jnp.asarray(matrix.T.astype(np.float32))
+
+    def __call__(self, values: jax.Array) -> jax.Array:
+        return jnp.dot(values, self.matrix, preferred_element_type=jnp.float32)
+
+
+class SumAncestors:
+    def __init__(self, tree: Hierarchy, exclude_root: bool = False):
+        matrix = tree.ancestor_mask(strict=False)
+        if exclude_root:
+            matrix = matrix[1:, :]
+        self.matrix = jnp.asarray(matrix.astype(np.float32))
+
+    def __call__(self, values: jax.Array) -> jax.Array:
+        return jnp.dot(values, self.matrix, preferred_element_type=jnp.float32)
+
+
+def SumLeafDescendants(tree: Hierarchy, strict: bool = False) -> SumDescendants:
+    return SumDescendants(tree, subset=np.flatnonzero(tree.leaf_mask()), strict=strict)
+
+
+class HierCondLogSoftmax:
+    """Per-node log-likelihood given its parent, from flat child scores.
+
+    `scores` has one logit per non-root node, ordered by node index; they are
+    scattered into (internal, max_children) blocks, log_softmaxed per block,
+    and scattered back (hloss_misc.py:722-821).
+    """
+
+    def __init__(self, tree: Hierarchy):
+        node_to_children = tree.children()
+        cond_children = [node_to_children[x] for x in tree.internal_subset()]
+        cond_num = list(map(len, cond_children))
+        self.num_internal = len(cond_children)
+        self.max_children = max(cond_num)
+        self.num_nodes = tree.num_nodes()
+        row = np.concatenate([np.full(n, i) for i, n in enumerate(cond_num)])
+        col = np.concatenate([np.arange(n) for n in cond_num])
+        self.flat_index = jnp.asarray(row * self.max_children + col)
+        self.child_index = jnp.asarray(np.concatenate(cond_children))
+
+    def __call__(self, scores: jax.Array) -> jax.Array:
+        prefix = scores.shape[:-1]
+        flat_len = self.num_internal * self.max_children
+        flat = jnp.full((*prefix, flat_len), -jnp.inf, scores.dtype)
+        flat = flat.at[..., self.flat_index].set(scores)
+        blocks = flat.reshape(*prefix, self.num_internal, self.max_children)
+        logp = jax.nn.log_softmax(blocks, axis=-1).reshape(*prefix, flat_len)
+        out = jnp.zeros((*prefix, self.num_nodes), scores.dtype)
+        return out.at[..., self.child_index].set(logp[..., self.flat_index])
+
+
+class HierLogSoftmax:
+    "Node log-likelihood: conditional log-softmax summed over ancestors."
+
+    def __init__(self, tree: Hierarchy):
+        self.cond = HierCondLogSoftmax(tree)
+        self.sum_ancestors = SumAncestors(tree, exclude_root=False)
+
+    def __call__(self, scores: jax.Array) -> jax.Array:
+        return self.sum_ancestors(self.cond(scores))
+
+
+class HierSoftmaxCrossEntropy:
+    """Cross-entropy for the conditional softmax (hloss_misc.py:667-719).
+
+    `labels` is a (B, num_nodes) one-hot (or distribution) over nodes.
+    """
+
+    def __init__(self, tree: Hierarchy):
+        self.cond = HierCondLogSoftmax(tree)
+        self.sum_label_descendants = SumDescendants(tree)
+
+    def __call__(self, scores: jax.Array, labels: jax.Array) -> jax.Array:
+        q = self.sum_label_descendants(labels.astype(jnp.float32))
+        log_cond_p = self.cond(scores)
+        return jnp.mean(jnp.sum(q * -log_cond_p, axis=-1))
+
+
+class FlatSoftmaxNLL:
+    """Leaf cross-entropy supporting internal labels: NLL of the summed
+    probability over the label's leaf descendants (hloss_misc.py:1102-1133)."""
+
+    def __init__(self, tree: Hierarchy):
+        is_ancestor = tree.ancestor_mask(strict=False)
+        self.leaf_masks = jnp.asarray(is_ancestor[:, tree.leaf_mask()])
+
+    def __call__(self, scores: jax.Array, labels: jax.Array) -> jax.Array:
+        label_idx = jnp.argmax(labels, axis=1)
+        logp_leaf = jax.nn.log_softmax(scores, axis=-1)
+        mask = self.leaf_masks[label_idx]
+        logp_label = jax.nn.logsumexp(
+            jnp.where(mask, logp_leaf, -jnp.inf), axis=-1
+        )
+        return jnp.mean(-logp_label)
+
+
+class MarginLoss:
+    """Soft margin loss over all nodes (hloss_misc.py:1026-1099).
+
+    TaxVamb uses margin="incorrect" (margin 1 unless the predicted node is an
+    ancestor-or-self of the label) with tau=0.01 and soft hardness.
+    """
+
+    def __init__(
+        self,
+        tree: Hierarchy,
+        hardness: str = "soft",
+        margin: str = "incorrect",
+        tau: float = 1.0,
+    ):
+        if hardness not in ("soft", "hard"):
+            raise ValueError(f"unknown hardness {hardness!r}")
+        n = tree.num_nodes()
+        if margin == "incorrect":
+            is_correct = tree.ancestor_mask(strict=False).T
+            margin_arr = 1.0 - is_correct
+        elif margin in ("edge_dist", "depth_dist"):
+            depth = tree.depths()
+            lca = FindLCA(tree)
+            gt = np.arange(n)[:, None]
+            pr = np.arange(n)[None, :]
+            lca_idx = lca(np.broadcast_to(gt, (n, n)), np.broadcast_to(pr, (n, n)))
+            margin_arr = (depth[gt] - depth[lca_idx]) + (depth[pr] - depth[lca_idx])
+        else:
+            raise ValueError(f"unknown margin {margin!r}")
+        self.hardness = hardness
+        self.tau = tau
+        self.margin = jnp.asarray(margin_arr.astype(np.float32))
+
+    def __call__(self, scores: jax.Array, labels: jax.Array) -> jax.Array:
+        label_idx = jnp.argmax(labels, axis=1)
+        label_score = jnp.take_along_axis(
+            scores, label_idx[:, None], axis=-1
+        )[:, 0]
+        label_margin = self.margin[label_idx]
+        if self.hardness == "soft":
+            loss = -label_score + jax.nn.logsumexp(
+                scores + self.tau * label_margin, axis=-1
+            )
+        else:
+            loss = jax.nn.relu(
+                jnp.max(scores - label_score[:, None] + self.tau * label_margin, axis=-1)
+            )
+        return jnp.mean(loss)
+
+
+# --------------------------------------------------------- prediction pickers
+
+
+def argmax_with_confidence(
+    value: np.ndarray,
+    p: np.ndarray,
+    threshold: float,
+    condition: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    "Element maximizing (p, value) lexicographically subject to p > threshold."
+    mask = p > threshold
+    if condition is not None:
+        mask = mask & condition
+    assert np.all(np.any(mask, axis=-1)), "require at least one valid element"
+    keys = np.broadcast_arrays(-p, -value)
+    order = np.lexsort(keys, axis=-1)
+    first_valid = np.expand_dims(
+        np.argmax(np.take_along_axis(mask, order, axis=-1), axis=-1), -1
+    )
+    return np.take_along_axis(order, first_valid, axis=-1).squeeze(-1)
+
+
+def pareto_optimal_predictions(
+    info: np.ndarray,
+    prob: np.ndarray,
+    min_threshold: Optional[float] = None,
+    condition: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Nodes more specific than every more-confident node, ordered by
+    descending prob (hloss_misc.py:495-541)."""
+    assert prob.ndim == 1 and info.ndim == 1
+    is_valid = np.ones(prob.shape, dtype=bool)
+    if min_threshold is not None:
+        is_valid &= prob > min_threshold
+    if condition is not None:
+        is_valid &= condition
+    assert np.any(is_valid), "require at least one valid element"
+    prob_v = prob[is_valid]
+    info_v = info[is_valid]
+    valid_inds = np.flatnonzero(is_valid)
+    order = np.lexsort((-info_v, -prob_v))
+    prob_v = prob_v[order]
+    info_v = info_v[order]
+    max_info = np.maximum.accumulate(info_v)
+    keep = np.concatenate(
+        ([True], (prob_v[1:] > prob_v[:-1]) | (info_v[1:] > max_info[:-1]))
+    )
+    return valid_inds[order[keep]]

@@ -1,0 +1,61 @@
+"""Generic device-resident training-loop machinery.
+
+Shared by every model family (VAE, Taxometer, VAEVAE, AAE): the dataset
+lives in device HBM as a tuple of row-aligned arrays; one epoch is a single
+jitted `lax.scan` over shuffled minibatch index blocks (reference-equivalent
+shuffle + drop_last semantics), compiled once per distinct batch size.
+"""
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def make_scan_epoch_fn(
+    grad_and_update: Callable,
+    n_metrics: int,
+):
+    """Build a jitted epoch function from a per-batch update.
+
+    `grad_and_update(train_state, batch, key) -> (train_state, metrics)` where
+    `train_state` is any pytree and `metrics` a length-`n_metrics` vector.
+    Returns `epoch_fn(train_state, data, key, batchsize, nbatches)` where
+    `data` is a tuple of (N, ...) arrays gathered per batch.
+    """
+
+    @partial(
+        jax.jit, static_argnames=("batchsize", "nbatches"), donate_argnums=(0,)
+    )
+    def epoch_fn(train_state, data, key, batchsize, nbatches):
+        n = data[0].shape[0]
+        perm_key, scan_key = jax.random.split(key)
+        perm = jax.random.permutation(perm_key, n)
+        idx = perm[: nbatches * batchsize].reshape(nbatches, batchsize)
+
+        def step(carry, batch_idx):
+            train_state, key = carry
+            key, sub = jax.random.split(key)
+            batch = tuple(a[batch_idx] for a in data)
+            train_state, metrics = grad_and_update(train_state, batch, sub)
+            return (train_state, key), metrics
+
+        (train_state, _), metrics = jax.lax.scan(
+            step, (train_state, scan_key), idx
+        )
+        return train_state, jnp.mean(metrics, axis=0)
+
+    return epoch_fn
+
+
+def validate_batchsteps(nepochs: int, batchsteps: Optional[list]) -> list[int]:
+    "Reference batchsteps validation (encode.py:563-573)."
+    if batchsteps is None:
+        return []
+    batchsteps = list(batchsteps)
+    if not all(isinstance(i, int) for i in batchsteps):
+        raise ValueError("All elements of batchsteps must be integers")
+    if max(batchsteps, default=0) >= nepochs:
+        raise ValueError("Max batchsteps must not equal or exceed nepochs")
+    return sorted(set(batchsteps))
