@@ -133,3 +133,83 @@ def test_composition_reuse(outdir, dataset_dir, tmp_path):
         ]
     )
     assert (out2 / "vae_clusters_unsplit.tsv").is_file()
+
+
+@pytest.fixture(scope="module")
+def taxonomy_file(dataset_dir):
+    "Assign each synthetic contig a lineage from 3 clades."
+    lineages = [
+        "Bacteria;Firmicutes;Bacillus",
+        "Bacteria;Proteobacteria;Escherichia",
+        "Archaea;Euryarchaeota",
+    ]
+    names = [f"S{1 + i % 3}C{i}" for i in range(N_CONTIGS)]
+    p = dataset_dir / "taxonomy.tsv"
+    with open(p, "w") as f:
+        f.write("contigs\tpredictions\n")
+        for i, name in enumerate(names):
+            f.write(f"{name}\t{lineages[i % 3]}\n")
+    return p
+
+
+def test_taxometer_cli(dataset_dir, taxonomy_file, tmp_path):
+    out = tmp_path / "taxometer"
+    main(
+        [
+            "taxometer",
+            "--outdir", str(out),
+            "--fasta", str(dataset_dir / "contigs.fna"),
+            "--abundance_tsv", str(dataset_dir / "abundance.tsv"),
+            "--taxonomy", str(taxonomy_file),
+            "-pe", "3",
+            "--seed", "3",
+        ]
+    )
+    assert (out / "results_taxometer.tsv").is_file()
+    assert (out / "predictor_model.npz").is_file()
+    lines = (out / "results_taxometer.tsv").read_text().splitlines()
+    assert lines[0] == "contigs\tpredictions\tscores"
+    assert len(lines) == N_CONTIGS + 1
+
+
+def test_taxvamb_cli(dataset_dir, taxonomy_file, tmp_path):
+    out = tmp_path / "taxvamb"
+    main(
+        [
+            "bin", "taxvamb",
+            "--outdir", str(out),
+            "--fasta", str(dataset_dir / "contigs.fna"),
+            "--abundance_tsv", str(dataset_dir / "abundance.tsv"),
+            "--taxonomy", str(taxonomy_file),
+            "--no_predictor",
+            "-e", "3",
+            "-q",
+            "--seed", "4",
+        ]
+    )
+    assert (out / "vaevae_clusters_unsplit.tsv").is_file()
+    assert (out / "vaevae_model.npz").is_file()
+    assert (out / "vaevae_latent.npz").is_file()
+    with open(out / "vaevae_clusters_unsplit.tsv") as f:
+        clusters = read_clusters(f)
+    members = [c for m in clusters.values() for c in m]
+    assert len(members) == N_CONTIGS
+
+
+def test_taxvamb_cli_with_predictor(dataset_dir, taxonomy_file, tmp_path):
+    out = tmp_path / "taxvamb_pred"
+    main(
+        [
+            "bin", "taxvamb",
+            "--outdir", str(out),
+            "--fasta", str(dataset_dir / "contigs.fna"),
+            "--abundance_tsv", str(dataset_dir / "abundance.tsv"),
+            "--taxonomy", str(taxonomy_file),
+            "-e", "2",
+            "-q",
+            "-pe", "2",
+            "--seed", "5",
+        ]
+    )
+    assert (out / "results_taxometer.tsv").is_file()
+    assert (out / "vaevae_clusters_unsplit.tsv").is_file()

@@ -199,6 +199,44 @@ def add_vae_arguments(subparser):
     return subparser
 
 
+def add_taxonomy_arguments(subparser, taxonomy_only=False):
+    taxonomys = subparser.add_argument_group(title="Taxonomy input")
+    taxonomys.add_argument(
+        "--taxonomy", metavar="", type=Path, help="Path to the taxonomy file"
+    )
+    if not taxonomy_only:
+        taxonomys.add_argument(
+            "--no_predictor",
+            help="Do not complete input taxonomy with Taxometer [False]",
+            action="store_true",
+        )
+    return subparser
+
+
+def add_predictor_arguments(subparser):
+    pred_trainos = subparser.add_argument_group(
+        title="Training options for the taxonomy predictor"
+    )
+    pred_trainos.add_argument(
+        "-pe", dest="pred_nepochs", metavar="", type=int, default=100,
+        help=argparse.SUPPRESS,
+    )
+    pred_trainos.add_argument(
+        "-pt", dest="pred_batchsize", metavar="", type=int, default=1024,
+        help=argparse.SUPPRESS,
+    )
+    pred_trainos.add_argument(
+        "-pthr", dest="pred_softmax_threshold", metavar="", type=float,
+        default=0.5, help=argparse.SUPPRESS,
+    )
+    pred_trainos.add_argument(
+        "-ploss", dest="ploss", metavar="", type=str,
+        choices=["flat_softmax", "cond_softmax", "soft_margin"],
+        default="flat_softmax", help=argparse.SUPPRESS,
+    )
+    return subparser
+
+
 def add_clustering_arguments(subparser):
     clusto = subparser.add_argument_group(title="Clustering options")
     clusto.add_argument(
@@ -357,6 +395,41 @@ Required arguments: Outdir, at least one composition input and at least one abun
     add_vae_arguments(vae_parser)
     add_clustering_arguments(vae_parser)
 
+    vaevae_parser = subparsers_model.add_parser(
+        "taxvamb",
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+        help="taxonomy informed binner based on a bi-modal variational autoencoder",
+        add_help=False,
+        usage="%(prog)s [options]",
+        description="""Bin using a semi-supervised VAEVAE model that merges composition, abundance and taxonomic information.
+
+Required arguments: Outdir, taxonomy, at least one composition input and at least one abundance input""",
+    )
+    add_general_arguments(vaevae_parser)
+    add_composition_arguments(vaevae_parser)
+    add_abundance_arguments(vaevae_parser)
+    add_taxonomy_arguments(vaevae_parser)
+    add_bin_output_arguments(vaevae_parser)
+    add_vae_arguments(vaevae_parser)
+    add_clustering_arguments(vaevae_parser)
+    add_predictor_arguments(vaevae_parser)
+
+    predict_parser = subparsers.add_parser(
+        "taxometer",
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+        help="refines taxonomic annotations of any metagenome classifier",
+        add_help=False,
+        usage="%(prog)s [options]",
+        description="""Refine taxonomy using composition and abundance information.
+
+Required arguments: Outdir, unrefined taxonomy, at least one composition input and at least one abundance input""",
+    )
+    add_general_arguments(predict_parser)
+    add_composition_arguments(predict_parser)
+    add_abundance_arguments(predict_parser)
+    add_taxonomy_arguments(predict_parser, taxonomy_only=True)
+    add_predictor_arguments(predict_parser)
+
     args = parser.parse_args(args_in)
 
     if args.subcommand == "bin":
@@ -377,6 +450,61 @@ Required arguments: Outdir, at least one composition input and at least one abun
                 output=_output_options_from_args(args),
             )
             run(partial(run_bin_default, opt), general)
+        elif model == "taxvamb":
+            from .pipeline import (
+                BinTaxVambOptions,
+                TaxometerOptions,
+                run_vaevae,
+            )
+
+            if args.taxonomy is None:
+                raise ValueError("bin taxvamb requires --taxonomy")
+            general = _general_options_from_args(args)
+            taxometer = None
+            if not args.no_predictor:
+                taxometer = TaxometerOptions(
+                    taxonomy_path=args.taxonomy,
+                    nepochs=args.pred_nepochs,
+                    batchsize=args.pred_batchsize,
+                    softmax_threshold=args.pred_softmax_threshold,
+                    ploss=args.ploss,
+                )
+            opt = BinTaxVambOptions(
+                general=general,
+                comp=_comp_options_from_args(args),
+                abundance=_abundance_options_from_args(args),
+                vae=_vae_options_from_args(args),
+                clustering=_cluster_options_from_args(args),
+                output=_output_options_from_args(args),
+                taxonomy_path=args.taxonomy,
+                no_predictor=args.no_predictor,
+                taxometer=taxometer,
+                ploss=args.ploss,
+            )
+            run(partial(run_vaevae, opt), general)
+    elif args.subcommand == "taxometer":
+        from .pipeline import (
+            TaxometerOptions,
+            TaxometerRunOptions,
+            run_taxonomy_predictor,
+        )
+
+        if args.taxonomy is None:
+            raise ValueError("taxometer requires --taxonomy")
+        general = _general_options_from_args(args)
+        opt = TaxometerRunOptions(
+            general=general,
+            comp=_comp_options_from_args(args),
+            abundance=_abundance_options_from_args(args),
+            taxometer=TaxometerOptions(
+                taxonomy_path=args.taxonomy,
+                nepochs=args.pred_nepochs,
+                batchsize=args.pred_batchsize,
+                softmax_threshold=args.pred_softmax_threshold,
+                ploss=args.ploss,
+            ),
+        )
+        run(partial(run_taxonomy_predictor, opt), general)
     else:
         parser.print_help()
         sys.exit(1)

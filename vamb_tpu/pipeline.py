@@ -483,3 +483,254 @@ def run_bin_default(opt: BinDefaultOptions) -> None:
         min_fasta_size=opt.output.min_fasta_output_size or 0,
         compress_fasta=opt.output.compress_fasta_output,
     )
+
+
+# ----------------------------------------------------- taxonomy runners
+
+
+@dataclass
+class TaxometerOptions:
+    "Options for the Taxometer predictor (reference __main__.py:422-468)."
+    taxonomy_path: Path
+    nepochs: int = 100
+    batchsize: int = 1024
+    batchsteps: list[int] = field(default_factory=list)
+    softmax_threshold: float = 0.5
+    ploss: str = "flat_softmax"
+
+    def __post_init__(self):
+        if not (0.0 <= self.softmax_threshold <= 1.0):
+            raise ValueError(
+                f"Softmax threshold should be between 0 and 1, "
+                f"currently {self.softmax_threshold}"
+            )
+        if self.ploss not in ("flat_softmax", "cond_softmax", "soft_margin"):
+            raise ValueError(f"Unknown predictor loss {self.ploss}")
+        if not self.taxonomy_path.is_file():
+            raise FileNotFoundError(self.taxonomy_path)
+
+
+def targets_from_taxonomy(contig_taxonomies) -> tuple[list[str], dict, list[int], np.ndarray]:
+    "Graph + per-contig deepest-node targets (reference __main__.py:1563-1567)."
+    from .models import hier
+
+    nodes, ind_nodes, table_parent = hier.make_graph(contig_taxonomies)
+    classes_order = [
+        "root" if (t is None or len(t.ranks) == 0) else t.ranks[-1]
+        for t in contig_taxonomies
+    ]
+    targets = np.array([ind_nodes[c] for c in classes_order])
+    return nodes, ind_nodes, table_parent, targets
+
+
+def predict_taxonomy(
+    comp_metadata,
+    abundance_matrix: np.ndarray,
+    tnfs: np.ndarray,
+    lengths: np.ndarray,
+    out_dir: Path,
+    options: TaxometerOptions,
+    seed: int = 0,
+):
+    "Train Taxometer and write results_taxometer.tsv (reference :1542-1642)."
+    from .models import make_dataset
+    from .models.taxometer import Taxometer
+    from .taxonomy import (
+        ContigTaxonomy,
+        PredictedContigTaxonomy,
+        PredictedTaxonomy,
+        Taxonomy,
+    )
+
+    begintime = time.time()
+    logger.info("Predicting taxonomy with Taxometer")
+    taxonomies = Taxonomy.from_file(options.taxonomy_path, comp_metadata, False)
+    nodes, ind_nodes, table_parent, targets = targets_from_taxonomy(
+        taxonomies.contig_taxonomies
+    )
+    logger.info(f"\t{len(nodes)} nodes in the graph")
+
+    model = Taxometer(
+        abundance_matrix.shape[1],
+        len(nodes),
+        nodes,
+        table_parent,
+        nhiddens=[512, 512, 512, 512],
+        hier_loss=options.ploss,
+        seed=seed,
+    )
+    dataset = make_dataset(abundance_matrix, tnfs, lengths)
+    logger.info("\tCreated dataloader")
+    logger.info("Starting training the taxonomy predictor")
+    logger.info(f"Using threshold {options.softmax_threshold}")
+
+    model.trainmodel(
+        dataset,
+        targets,
+        nepochs=options.nepochs,
+        batchsize=options.batchsize,
+        batchsteps=options.batchsteps,
+        modelfile=out_dir.joinpath("predictor_model.npz"),
+        logger=logger.info,
+    )
+
+    logger.info("Writing the taxonomy predictions")
+    nodes_ar = np.array(nodes)
+    contig_taxonomies_out: list[PredictedContigTaxonomy] = []
+    for predicted_vector, _predicted_labels in model.predict(dataset):
+        for i in range(predicted_vector.shape[0]):
+            threshold_mask = predicted_vector[i] > options.softmax_threshold
+            ranks = list(nodes_ar[threshold_mask][1:])
+            probs = predicted_vector[i][threshold_mask][1:]
+            contig_taxonomies_out.append(
+                PredictedContigTaxonomy(ContigTaxonomy(ranks), probs)
+            )
+
+    taxonomy = PredictedTaxonomy(contig_taxonomies_out, comp_metadata, False)
+    with open(out_dir.joinpath("results_taxometer.tsv"), "w") as file:
+        taxonomy.write_as_tsv(file, comp_metadata)
+    logger.info(
+        f"Completed taxonomy predictions in {round(time.time() - begintime, 2)} seconds."
+    )
+    return taxonomy
+
+
+@dataclass
+class TaxometerRunOptions:
+    general: GeneralOptions
+    comp: CompositionOptions
+    abundance: AbundanceOptions
+    taxometer: TaxometerOptions
+
+
+def run_taxonomy_predictor(opt: TaxometerRunOptions) -> None:
+    "The `taxometer` subcommand (reference __main__.py:1892-1938)."
+    composition, abundance = load_composition_and_abundance(
+        opt.general, opt.comp, opt.abundance, BinSplitter.inert_splitter()
+    )
+    predict_taxonomy(
+        composition.metadata,
+        abundance.matrix,
+        composition.matrix,
+        composition.metadata.lengths,
+        opt.general.outdir,
+        opt.taxometer,
+        seed=opt.general.seed,
+    )
+
+
+@dataclass
+class BinTaxVambOptions:
+    general: GeneralOptions
+    comp: CompositionOptions
+    abundance: AbundanceOptions
+    vae: VAEOptions
+    clustering: ClusterOptions
+    output: BinOutputOptions
+    taxonomy_path: Path = None
+    no_predictor: bool = False
+    taxometer: Optional[TaxometerOptions] = None
+    ploss: str = "flat_softmax"
+
+
+def run_vaevae(opt: BinTaxVambOptions) -> None:
+    "The `bin taxvamb` subcommand (reference __main__.py:1941-2068)."
+    from .models import make_dataset
+    from .models.vaevae import VAEVAE
+    from .taxonomy import Taxonomy
+
+    composition, abundance = load_composition_and_abundance(
+        opt.general, opt.comp, opt.abundance, opt.output.binsplitter
+    )
+    abundance_matrix = abundance.matrix
+    tnfs = composition.matrix
+    lengths = composition.metadata.lengths
+    contignames = composition.metadata.identifiers
+
+    is_refined = False
+    if opt.taxonomy_path is not None:
+        with open(opt.taxonomy_path) as f:
+            first = f.readline().rstrip()
+        is_refined = first == "contigs\tpredictions\tscores"
+
+    if is_refined:
+        logger.info(f'Loading already-refined taxonomy from file "{opt.taxonomy_path}"')
+        contig_taxonomies = Taxonomy.from_refined_file(
+            opt.taxonomy_path, composition.metadata, False
+        )
+    elif opt.no_predictor:
+        logger.info(f'Loading unrefined taxonomy from file "{opt.taxonomy_path}"')
+        contig_taxonomies = Taxonomy.from_file(
+            opt.taxonomy_path, composition.metadata, False
+        )
+    else:
+        taxometer_opt = opt.taxometer or TaxometerOptions(
+            taxonomy_path=opt.taxonomy_path, ploss=opt.ploss
+        )
+        predicted = predict_taxonomy(
+            composition.metadata,
+            abundance_matrix,
+            tnfs,
+            lengths,
+            opt.general.outdir,
+            taxometer_opt,
+            seed=opt.general.seed,
+        )
+        contig_taxonomies = predicted.to_taxonomy()
+
+    nodes, ind_nodes, table_parent, targets = targets_from_taxonomy(
+        contig_taxonomies.contig_taxonomies
+    )
+
+    vae = VAEVAE(
+        abundance_matrix.shape[1],
+        len(nodes),
+        nodes,
+        table_parent,
+        nhiddens=opt.vae.nhiddens,
+        nlatent=opt.vae.nlatent,
+        alpha=opt.vae.alpha,
+        beta=opt.vae.beta,
+        dropout=opt.vae.dropout,
+        hier_loss=opt.ploss,
+        seed=opt.general.seed,
+    )
+    dataset = make_dataset(abundance_matrix, tnfs, lengths)
+    vae.trainmodel(
+        dataset,
+        targets,
+        nepochs=opt.vae.nepochs,
+        batchsize=opt.vae.batchsize,
+        batchsteps=opt.vae.batchsteps,
+        modelfile=opt.general.outdir.joinpath("vaevae_model.npz"),
+        logger=logger.info,
+    )
+
+    latent = vae.encode_joint(dataset, targets)
+    logger.info(f"{latent.shape} embedding shape")
+    write_npz(opt.general.outdir.joinpath("vaevae_latent.npz"), latent)
+
+    fasta_out = None
+    bins_dir = None
+    if opt.output.min_fasta_output_size is not None:
+        if opt.comp.fasta is None:
+            raise ValueError(
+                "FASTA output was requested (--minfasta), but no FASTA input "
+                "was given (--fasta)"
+            )
+        fasta_out = opt.comp.fasta
+        bins_dir = opt.general.outdir.joinpath("bins")
+
+    cluster_and_write_files(
+        opt.clustering,
+        opt.output.binsplitter,
+        latent,
+        list(contignames),
+        lengths,
+        opt.general.seed,
+        str(opt.general.outdir.joinpath("vaevae_clusters")),
+        fasta_path=fasta_out,
+        bins_dir=bins_dir,
+        min_fasta_size=opt.output.min_fasta_output_size or 0,
+        compress_fasta=opt.output.compress_fasta_output,
+    )
