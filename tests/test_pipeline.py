@@ -213,3 +213,35 @@ def test_taxvamb_cli_with_predictor(dataset_dir, taxonomy_file, tmp_path):
     )
     assert (out / "results_taxometer.tsv").is_file()
     assert (out / "vaevae_clusters_unsplit.tsv").is_file()
+
+
+def test_avamb_cli(dataset_dir, tmp_path):
+    out = tmp_path / "avamb"
+    main(
+        [
+            "bin", "avamb",
+            "--outdir", str(out),
+            "--fasta", str(dataset_dir / "contigs.fna"),
+            "--abundance_tsv", str(dataset_dir / "abundance.tsv"),
+            "--e_aae", "3",
+            "--q_aae",
+            "--n_aae", "48",
+            "--z_aae", "8",
+            "--y_aae", "10",
+            "--seed", "6",
+        ]
+    )
+    assert (out / "aae_model.npz").is_file()
+    assert (out / "aae_z_latent.npz").is_file()
+    assert (out / "aae_z_clusters_unsplit.tsv").is_file()
+    assert (out / "aae_y_clusters_unsplit.tsv").is_file()
+    with open(out / "aae_z_clusters_unsplit.tsv") as f:
+        z_clusters = read_clusters(f)
+    members = [c for m in z_clusters.values() for c in m]
+    assert len(members) == N_CONTIGS
+    assert all(name.startswith("z_") for name in z_clusters)
+    with open(out / "aae_y_clusters_unsplit.tsv") as f:
+        y_clusters = read_clusters(f)
+    y_members = [c for m in y_clusters.values() for c in m]
+    assert len(y_members) == N_CONTIGS
+    assert all(name.startswith("y_") for name in y_clusters)

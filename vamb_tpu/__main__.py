@@ -254,6 +254,47 @@ def add_clustering_arguments(subparser):
     return subparser
 
 
+def add_aae_arguments(subparser):
+    aaeos = subparser.add_argument_group(title="AAE options")
+    aaeos.add_argument(
+        "--n_aae", dest="nhiddens_aae", metavar="", type=int, default=547,
+        help=argparse.SUPPRESS,
+    )
+    aaeos.add_argument(
+        "--z_aae", dest="nlatent_aae_z", metavar="", type=int, default=283,
+        help=argparse.SUPPRESS,
+    )
+    aaeos.add_argument(
+        "--y_aae", dest="nlatent_aae_y", metavar="", type=int, default=700,
+        help=argparse.SUPPRESS,
+    )
+    aaeos.add_argument(
+        "--sl_aae", dest="sl", metavar="", type=float, default=0.00964,
+        help=argparse.SUPPRESS,
+    )
+    aaeos.add_argument(
+        "--slr_aae", dest="slr", metavar="", type=float, default=0.5,
+        help=argparse.SUPPRESS,
+    )
+    aaeos.add_argument(
+        "--aae_temp", dest="temp", metavar="", type=float, default=0.1596,
+        help=argparse.SUPPRESS,
+    )
+    aaeos.add_argument(
+        "--e_aae", dest="nepochs_aae", metavar="", type=int, default=70,
+        help=argparse.SUPPRESS,
+    )
+    aaeos.add_argument(
+        "--t_aae", dest="batchsize_aae", metavar="", type=int, default=256,
+        help=argparse.SUPPRESS,
+    )
+    aaeos.add_argument(
+        "--q_aae", dest="batchsteps_aae", metavar="", type=int, nargs="*",
+        default=[25, 50], help=argparse.SUPPRESS,
+    )
+    return subparser
+
+
 def _general_options_from_args(args):
     from .pipeline import GeneralOptions
 
@@ -414,6 +455,20 @@ Required arguments: Outdir, taxonomy, at least one composition input and at leas
     add_clustering_arguments(vaevae_parser)
     add_predictor_arguments(vaevae_parser)
 
+    vaeaae_parser = subparsers_model.add_parser(
+        "avamb",
+        help=argparse.SUPPRESS,
+        add_help=False,
+        usage="%(prog)s [options]",
+    )
+    add_general_arguments(vaeaae_parser)
+    add_composition_arguments(vaeaae_parser)
+    add_abundance_arguments(vaeaae_parser)
+    add_bin_output_arguments(vaeaae_parser)
+    add_vae_arguments(vaeaae_parser)
+    add_aae_arguments(vaeaae_parser)
+    add_clustering_arguments(vaeaae_parser)
+
     predict_parser = subparsers.add_parser(
         "taxometer",
         formatter_class=argparse.RawDescriptionHelpFormatter,
@@ -482,6 +537,30 @@ Required arguments: Outdir, unrefined taxonomy, at least one composition input a
                 ploss=args.ploss,
             )
             run(partial(run_vaevae, opt), general)
+        elif model == "avamb":
+            from .pipeline import AAEOptions, BinAvambOptions, run_bin_aae
+
+            general = _general_options_from_args(args)
+            opt = BinAvambOptions(
+                general=general,
+                comp=_comp_options_from_args(args),
+                abundance=_abundance_options_from_args(args),
+                vae=_vae_options_from_args(args),
+                aae=AAEOptions(
+                    nhiddens=args.nhiddens_aae,
+                    nlatent_z=args.nlatent_aae_z,
+                    nlatent_y=args.nlatent_aae_y,
+                    sl=args.sl,
+                    slr=args.slr,
+                    temp=args.temp,
+                    nepochs=args.nepochs_aae,
+                    batchsize=args.batchsize_aae,
+                    batchsteps=list(args.batchsteps_aae),
+                ),
+                clustering=_cluster_options_from_args(args),
+                output=_output_options_from_args(args),
+            )
+            run(partial(run_bin_aae, opt), general)
     elif args.subcommand == "taxometer":
         from .pipeline import (
             TaxometerOptions,

@@ -734,3 +734,166 @@ def run_vaevae(opt: BinTaxVambOptions) -> None:
         min_fasta_size=opt.output.min_fasta_output_size or 0,
         compress_fasta=opt.output.compress_fasta_output,
     )
+
+
+# --------------------------------------------------------------- avamb
+
+
+@dataclass
+class AAEOptions:
+    "Avamb AAE options (reference __main__.py:594-655 defaults)."
+    nhiddens: int = 547
+    nlatent_z: int = 283
+    nlatent_y: int = 700
+    sl: float = 0.00964
+    slr: float = 0.5
+    temp: float = 0.1596
+    nepochs: int = 70
+    batchsize: int = 256
+    batchsteps: list[int] = field(default_factory=lambda: [25, 50])
+
+
+def export_clusters(
+    binsplitter: BinSplitter,
+    clusters: Collection[tuple[str, Collection[str]]],
+    base_clusters_name: str,
+    fasta_output=None,  # (fasta_path, bins_dir, min_size, compress, names, lens)
+) -> None:
+    "Write precomputed clusters (reference __main__.py:1189-1252)."
+    from .utils.io import CLUSTERS_HEADER
+
+    begintime = time.time()
+    split_file = None
+    if not binsplitter.is_disabled():
+        split_file = open(base_clusters_name + "_split.tsv", "w")
+        print(CLUSTERS_HEADER, file=split_file)
+    n_split = 0
+    n_unsplit = len(clusters)
+    n_total = sum(len(cl) for (_, cl) in clusters)
+    try:
+        with open(base_clusters_name + "_unsplit.tsv", "w") as unsplit:
+            print(CLUSTERS_HEADER, file=unsplit)
+            for name, contigs in clusters:
+                for contig in contigs:
+                    print(name, contig, sep="\t", file=unsplit)
+                if split_file is not None:
+                    for split_name, split_members in binsplitter.split_bin(
+                        name, contigs
+                    ):
+                        n_split += 1
+                        for member in split_members:
+                            print(split_name, member, sep="\t", file=split_file)
+    finally:
+        if split_file is not None:
+            split_file.close()
+    binsplitter.log_clustering_result(n_total, n_split, n_unsplit, begintime)
+
+    if fasta_output is not None:
+        fasta_path, bins_dir, min_size, compress, names, lens = fasta_output
+        create_cluster_fasta_files(
+            bins_dir, clusters, fasta_path, lens, names, min_size, compress
+        )
+
+
+@dataclass
+class BinAvambOptions:
+    general: GeneralOptions
+    comp: CompositionOptions
+    abundance: AbundanceOptions
+    vae: VAEOptions
+    aae: AAEOptions
+    clustering: ClusterOptions
+    output: BinOutputOptions
+
+
+def run_bin_aae(opt: BinAvambOptions) -> None:
+    """The `bin avamb` subcommand (reference __main__.py:1491-1539).
+
+    Note: the reference's run_bin_aae promises (in a comment) to export the
+    y clusters directly but never does in v5.0.2; we export them with a
+    "y_" prefix as earlier versions did.
+    """
+    from .models import make_dataset
+    from .models.aae import AAE
+
+    composition, abundance = load_composition_and_abundance(
+        opt.general, opt.comp, opt.abundance, opt.output.binsplitter
+    )
+    dataset = make_dataset(
+        abundance.matrix, composition.matrix, composition.metadata.lengths,
+        destroy=True,
+    )
+    comp_metadata = composition.metadata
+
+    begintime = time.time()
+    logger.info("Creating and training AAE")
+    aae = AAE(
+        dataset.nsamples,
+        nhiddens=opt.aae.nhiddens,
+        nlatent_z=opt.aae.nlatent_z,
+        nlatent_y=opt.aae.nlatent_y,
+        sl=opt.aae.sl,
+        slr=opt.aae.slr,
+        alpha=opt.vae.alpha,
+        seed=opt.general.seed,
+    )
+    logger.info("\tCreated AAE")
+    aae.trainmodel(
+        dataset,
+        nepochs=opt.aae.nepochs,
+        batchsize=opt.aae.batchsize,
+        batchsteps=opt.aae.batchsteps,
+        temperature=opt.aae.temp,
+        modelfile=opt.general.outdir.joinpath("aae_model.npz"),
+        logger=logger.info,
+    )
+    logger.info("\tEncoding to latent representation")
+    clusters_y_dict, latent_z = aae.get_latents(
+        list(comp_metadata.identifiers), dataset
+    )
+    write_npz(opt.general.outdir.joinpath("aae_z_latent.npz"), latent_z)
+    elapsed = round(time.time() - begintime, 2)
+    logger.info(f"\tTrained AAE and encoded in {elapsed} seconds.")
+
+    fasta_out = None
+    bins_dir = None
+    if opt.output.min_fasta_output_size is not None:
+        if opt.comp.fasta is None:
+            raise ValueError(
+                "FASTA output was requested (--minfasta), but no FASTA input "
+                "was given (--fasta)"
+            )
+        fasta_out = opt.comp.fasta
+        bins_dir = opt.general.outdir.joinpath("bins")
+
+    cluster_and_write_files(
+        opt.clustering,
+        opt.output.binsplitter,
+        latent_z,
+        list(comp_metadata.identifiers),
+        comp_metadata.lengths,
+        opt.general.seed,
+        str(opt.general.outdir.joinpath("aae_z_clusters")),
+        fasta_path=fasta_out,
+        bins_dir=bins_dir,
+        min_fasta_size=opt.output.min_fasta_output_size or 0,
+        compress_fasta=opt.output.compress_fasta_output,
+        bin_prefix="z_",
+    )
+
+    y_clusters = [("y_" + k, sorted(v)) for k, v in clusters_y_dict.items()]
+    export_clusters(
+        opt.output.binsplitter,
+        y_clusters,
+        str(opt.general.outdir.joinpath("aae_y_clusters")),
+        None
+        if fasta_out is None
+        else (
+            fasta_out,
+            opt.general.outdir.joinpath("bins"),
+            opt.output.min_fasta_output_size or 0,
+            opt.output.compress_fasta_output,
+            list(comp_metadata.identifiers),
+            comp_metadata.lengths,
+        ),
+    )
