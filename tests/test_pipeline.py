@@ -245,3 +245,78 @@ def test_avamb_cli(dataset_dir, tmp_path):
     y_members = [c for m in y_clusters.values() for c in m]
     assert len(y_members) == N_CONTIGS
     assert all(name.startswith("y_") for name in y_clusters)
+
+
+def test_recluster_kmeans_cli(outdir, dataset_dir, tmp_path):
+    "Recluster the bin-default output with precomputed synthetic markers."
+    import json
+
+    from vamb_tpu.composition import Composition
+
+    comp = Composition.load(outdir / "composition.npz")
+    names = list(comp.metadata.identifiers)
+    # synthetic markers: 5 SCGs spread over contigs
+    markers_payload = {
+        "markers": [[i % 5] if i % 4 == 0 else None for i in range(len(names))],
+        "marker_names": [[f"M{i}"] for i in range(5)],
+        "refhash": comp.metadata.refhash.hex(),
+    }
+    markers_path = tmp_path / "markers.npz"
+    markers_path.write_text(json.dumps(markers_payload))
+
+    out = tmp_path / "recluster"
+    main(
+        [
+            "recluster",
+            "--outdir", str(out),
+            "--composition", str(outdir / "composition.npz"),
+            "--markers", str(markers_path),
+            "--latent_path", str(outdir / "latent.npz"),
+            "--clusters_path", str(outdir / "vae_clusters_unsplit.tsv"),
+            "--algorithm", "kmeans",
+            "--seed", "7",
+        ]
+    )
+    assert (out / "clusters_reclustered_unsplit.tsv").is_file()
+    with open(out / "clusters_reclustered_unsplit.tsv") as f:
+        clusters = read_clusters(f)
+    members = [c for m in clusters.values() for c in m]
+    assert len(members) == N_CONTIGS
+
+
+def test_recluster_dbscan_cli(outdir, dataset_dir, tmp_path):
+    import json
+
+    from vamb_tpu.composition import Composition
+
+    comp = Composition.load(outdir / "composition.npz")
+    names = list(comp.metadata.identifiers)
+    markers_payload = {
+        "markers": [[i % 5] if i % 4 == 0 else None for i in range(len(names))],
+        "marker_names": [[f"M{i}"] for i in range(5)],
+        "refhash": comp.metadata.refhash.hex(),
+    }
+    markers_path = tmp_path / "markers.npz"
+    markers_path.write_text(json.dumps(markers_payload))
+    # canonical taxonomy with genus rank (6 ranks)
+    tax_path = tmp_path / "taxonomy.tsv"
+    with open(tax_path, "w") as f:
+        f.write("contigs\tpredictions\n")
+        for i, name in enumerate(names):
+            f.write(f"{name}\td;p;c;o;f;genus{i % 2}\n")
+
+    out = tmp_path / "recluster_dbscan"
+    main(
+        [
+            "recluster",
+            "--outdir", str(out),
+            "--composition", str(outdir / "composition.npz"),
+            "--markers", str(markers_path),
+            "--latent_path", str(outdir / "latent.npz"),
+            "--algorithm", "dbscan",
+            "--taxonomy", str(tax_path),
+            "--no_predictor",
+            "--seed", "8",
+        ]
+    )
+    assert (out / "clusters_reclustered_unsplit.tsv").is_file()

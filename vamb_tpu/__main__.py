@@ -485,6 +485,50 @@ Required arguments: Outdir, unrefined taxonomy, at least one composition input a
     add_taxonomy_arguments(predict_parser, taxonomy_only=True)
     add_predictor_arguments(predict_parser)
 
+    recluster_parser = subparsers.add_parser(
+        "recluster",
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+        help="reclustering using single-copy genes for the binning results of VAMB or TaxVAMB",
+        add_help=False,
+        usage="%(prog)s [options]",
+        description="""Use marker genes to re-cluster (DBScan) or refine (K-means) clusters.
+
+Required arguments:
+  K-means algorithm: Outdir, at least one composition input, at least one marker gene input,
+    latent path and clusters path
+  DBScan algorithm: also requires a taxonomy input""",
+    )
+    add_general_arguments(recluster_parser)
+    add_composition_arguments(recluster_parser)
+    add_abundance_arguments(recluster_parser)
+    marker_s = recluster_parser.add_argument_group(title="Marker gene input")
+    marker_s.add_argument(
+        "--markers", metavar="", type=Path, help="Path to the marker .npz file"
+    )
+    marker_s.add_argument(
+        "--hmm_path", metavar="", type=Path,
+        help="Path to the .hmm file of marker gene profiles",
+    )
+    add_bin_output_arguments(recluster_parser)
+    reclusters = recluster_parser.add_argument_group(
+        title="K-means reclustering arguments"
+    )
+    reclusters.add_argument(
+        "--latent_path", metavar="", type=Path,
+        help="Path to latent space .npz file",
+    )
+    reclusters.add_argument(
+        "--clusters_path", metavar="", type=Path,
+        help="Path to TSV file with clusters",
+    )
+    reclusters.add_argument(
+        "--algorithm", metavar="", type=str, default="kmeans",
+        choices=["kmeans", "dbscan"],
+        help="Which reclustering algorithm to use ('kmeans', 'dbscan') [kmeans]",
+    )
+    add_predictor_arguments(recluster_parser)
+    add_taxonomy_arguments(recluster_parser)
+
     args = parser.parse_args(args_in)
 
     if args.subcommand == "bin":
@@ -584,6 +628,48 @@ Required arguments: Outdir, unrefined taxonomy, at least one composition input a
             ),
         )
         run(partial(run_taxonomy_predictor, opt), general)
+    elif args.subcommand == "recluster":
+        from .pipeline import (
+            MarkerOptions,
+            ReclusteringOptions,
+            TaxometerOptions,
+            run_reclustering,
+        )
+
+        general = _general_options_from_args(args)
+        comp = _comp_options_from_args(args)
+        abundance = None
+        try:
+            abundance = _abundance_options_from_args(args)
+        except ValueError:
+            pass  # abundance only needed for dbscan-with-predictor
+        taxometer = None
+        if args.taxonomy is not None and not args.no_predictor:
+            taxometer = TaxometerOptions(
+                taxonomy_path=args.taxonomy,
+                nepochs=args.pred_nepochs,
+                batchsize=args.pred_batchsize,
+                softmax_threshold=args.pred_softmax_threshold,
+                ploss=args.ploss,
+            )
+        opt = ReclusteringOptions(
+            general=general,
+            comp=comp,
+            markers=MarkerOptions(
+                markers_path=args.markers,
+                hmm_path=args.hmm_path,
+                fasta_path=args.fasta,
+            ),
+            output=_output_options_from_args(args),
+            latent_path=args.latent_path,
+            algorithm=args.algorithm,
+            clusters_path=args.clusters_path,
+            taxonomy_path=args.taxonomy,
+            no_predictor=args.no_predictor,
+            abundance=abundance,
+            taxometer=taxometer,
+        )
+        run(partial(run_reclustering, opt), general)
     else:
         parser.print_help()
         sys.exit(1)

@@ -1,0 +1,259 @@
+"""Single-copy marker genes (SCGs) per contig.
+
+Behavioral parity: reference vamb/parsemarkers.py. The data model, JSON
+save/load, bin scoring, marker-name normalization and round-robin FASTA
+splitting are fully implemented. Actual gene prediction requires the
+pyrodigal (Prodigal) and pyhmmer (HMMER3) native libraries, exactly as the
+reference; `from_files` uses them when importable and otherwise raises a
+clear error. Precomputed markers (`--markers markers.npz`) always work.
+"""
+
+import contextlib
+import itertools
+import json
+import os
+import shutil
+from collections import defaultdict
+from multiprocessing.pool import Pool
+from pathlib import Path
+from typing import IO, Iterable, Optional, Sequence, Union
+
+import numpy as np
+
+from .log import logger
+from .utils import RefHasher, Reader, byte_iterfasta
+
+# Some markers have different names, but should be treated as the same SCG
+# (reference parsemarkers.py:193-198).
+NORMALIZE_MARKER_TRANS_DICT = {
+    "TIGR00388": "TIGR00389",
+    "TIGR00471": "TIGR00472",
+    "TIGR00408": "TIGR00409",
+    "TIGR02386": "TIGR02387",
+}
+
+
+class Markers:
+    """Marker genes predicted for a collection of contigs.
+
+    `markers` is a list with one element per contig: None if no markers,
+    else a uint8 array of deduplicated marker IDs. `marker_names[i]` is the
+    list of names sharing marker ID i. Refhash-coupled to the composition.
+    """
+
+    __slots__ = ["markers", "marker_names", "refhash"]
+
+    def __init__(
+        self,
+        markers: list[Optional[np.ndarray]],
+        marker_names: list[list[str]],
+        refhash: bytes,
+    ):
+        if len(set(itertools.chain.from_iterable(marker_names))) != sum(
+            len(i) for i in marker_names
+        ):
+            raise ValueError("Marker names are not unique, but must be")
+        self.markers = markers
+        self.marker_names = marker_names
+        self.refhash = refhash
+
+    @property
+    def n_markers(self) -> int:
+        return len(self.marker_names)
+
+    @property
+    def n_seqs(self) -> int:
+        return len(self.markers)
+
+    def score_bin(self, indices: Iterable[int]) -> tuple[float, float]:
+        "(completeness, contamination) of a set of contig indices."
+        counts = np.zeros(self.n_markers, dtype=np.uint8)
+        for i in indices:
+            mkrs = self.markers[i]
+            if mkrs is None:
+                continue
+            for m in mkrs:
+                counts[m] += 1
+        n_unique = (counts > 0).sum()
+        completeness = n_unique / self.n_markers
+        contamination = (counts.sum() - n_unique) / self.n_markers
+        return (completeness, contamination)
+
+    def save(self, io: Union[Path, str, IO[str]]) -> None:
+        representation = {
+            "markers": [i if i is None else i.tolist() for i in self.markers],
+            "marker_names": self.marker_names,
+            "refhash": self.refhash.hex(),
+        }
+        if isinstance(io, (Path, str)):
+            with open(io, "w") as file:
+                json.dump(representation, file)
+        else:
+            json.dump(representation, io)
+
+    @classmethod
+    def load(cls, io: Union[Path, str, IO[str]], refhash: Optional[bytes]):
+        if isinstance(io, (Path, str)):
+            with open(io, "rb") as file:
+                representation = json.load(file)
+        else:
+            representation = json.load(io)
+        observed_refhash = bytes.fromhex(representation["refhash"])
+        if refhash is not None:
+            RefHasher.verify_refhash(
+                observed_refhash, refhash, "Loaded markers", None, None
+            )
+        markers_as_arrays = [
+            i if i is None else np.array(i, dtype=np.uint8)
+            for i in representation["markers"]
+        ]
+        return cls(markers_as_arrays, representation["marker_names"], observed_refhash)
+
+    @classmethod
+    def from_files(
+        cls,
+        contigs: Path,
+        hmm_path: Path,
+        contignames: Sequence[str],
+        tmpdir_to_create: Path,
+        n_processes: int,
+        target_refhash: Optional[bytes],
+    ):
+        """Predict markers: prodigal ORFs -> HMMER search vs `hmm_path`.
+
+        Requires the pyrodigal and pyhmmer native libraries (the same ones
+        the reference uses, parsemarkers.py:10-11); raises ImportError with
+        guidance if unavailable.
+        """
+        try:
+            import pyhmmer  # noqa: F401
+            import pyrodigal  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "Marker prediction requires the 'pyrodigal' and 'pyhmmer' "
+                "packages, which are not installed in this environment. "
+                "Precomputed markers can be supplied with --markers instead."
+            ) from e
+
+        n_processes = cap_processes(n_processes)
+        with open(hmm_path, "rb") as file:
+            hmms = list(pyhmmer.plan7.HMMFile(file))
+        _, marker_names = get_name_to_id([h.name.decode() for h in hmms])
+
+        refhash, paths = split_file(contigs, contignames, tmpdir_to_create, n_processes)
+        if target_refhash is not None:
+            RefHasher.verify_refhash(
+                refhash, target_refhash, "Markers FASTA file", None, None
+            )
+
+        index_of_name = {n: i for (i, n) in enumerate(contignames)}
+        marker_list: list[Optional[np.ndarray]] = [None] * len(contignames)
+        with Pool(n_processes) as pool:
+            for sub_result in pool.imap_unordered(
+                _work_per_process, [(p, hmm_path) for p in paths]
+            ):
+                for contig_name, markers in sub_result:
+                    marker_list[index_of_name[contig_name]] = markers
+        shutil.rmtree(tmpdir_to_create)
+        return cls(marker_list, marker_names, refhash)
+
+
+def cap_processes(processes: int) -> int:
+    "Cap to 64 (one temp file per process; reference parsemarkers.py:181-189)."
+    if processes < 1:
+        raise ValueError(f"Must use at least 1 process, not {processes}")
+    if processes > 64:
+        logger.warning(f"Processes set to {processes}, capping to 64")
+        return 64
+    return processes
+
+
+def split_file(
+    input: Path,
+    contignames: Sequence[str],
+    tmpdir_to_create: Path,
+    n_splits: int,
+) -> tuple[bytes, list[Path]]:
+    "Round-robin split of masked FASTA entries into n temp files."
+    names = set(contignames)
+    os.mkdir(tmpdir_to_create)
+    paths = [tmpdir_to_create.joinpath(str(i)) for i in range(n_splits)]
+    with contextlib.ExitStack() as stack:
+        filehandles = [stack.enter_context(open(fname, "w")) for fname in paths]
+        refhasher = RefHasher()
+        with Reader(input) as infile:
+            for outfile, record in zip(
+                itertools.cycle(filehandles),
+                filter(lambda x: x.identifier in names, byte_iterfasta(infile, None)),
+            ):
+                refhasher.add_refname(record.identifier)
+                print(record.format(), file=outfile)
+    return (refhasher.digest(), paths)
+
+
+def get_name_to_id(
+    hmm_names: list[str],
+) -> tuple[dict[str, int], list[list[str]]]:
+    "Assign marker IDs, merging equivalent TIGR names; max 256 IDs."
+    name_to_id: dict[str, int] = dict()
+    for name in hmm_names:
+        if name in NORMALIZE_MARKER_TRANS_DICT:
+            continue
+        name_to_id[name] = len(name_to_id)
+    for old_name, new_name in NORMALIZE_MARKER_TRANS_DICT.items():
+        if new_name in name_to_id:
+            name_to_id[old_name] = name_to_id[new_name]
+    if len(set(name_to_id.values())) > 256:
+        raise ValueError("Maximum 256 marker IDs")
+    id_to_names: defaultdict[int, list[str]] = defaultdict(list)
+    for n, i in name_to_id.items():
+        id_to_names[i].append(n)
+    marker_names = [id_to_names[i] for i in range(len(id_to_names))]
+    return name_to_id, marker_names
+
+
+def _work_per_process(args: tuple[Path, Path]) -> list[tuple[str, np.ndarray]]:
+    "Per-process: prodigal genes -> hmmsearch with trusted-cutoff filter."
+    import pyhmmer
+    import pyrodigal
+
+    contig_path, hmm_path = args
+    with open(hmm_path, "rb") as file:
+        hmms = list(pyhmmer.plan7.HMMFile(file))
+    name_to_id, _ = get_name_to_id([h.name.decode() for h in hmms])
+
+    result: list[tuple[str, np.ndarray]] = []
+    chunk = []
+    finder = pyrodigal.GeneFinder(meta=True)
+    with open(contig_path, "rb") as file:
+        for record in byte_iterfasta(file, None):
+            chunk.append(record)
+            if len(chunk) == 2048:
+                result.extend(_process_chunk(chunk, hmms, name_to_id, finder))
+                chunk.clear()
+        result.extend(_process_chunk(chunk, hmms, name_to_id, finder))
+    return result
+
+
+def _process_chunk(chunk, hmms, name_to_id, finder):
+    import pyhmmer
+
+    markers: defaultdict[str, set[int]] = defaultdict(set)
+    alphabet = pyhmmer.easel.Alphabet.amino()
+    digitized = []
+    for record in chunk:
+        for gene in finder.find_genes(record.sequence):
+            seq = pyhmmer.easel.TextSequence(
+                name=record.identifier.encode(), sequence=gene.translate()
+            ).digitize(alphabet)
+            digitized.append(seq)
+    for hmm, top_hits in zip(hmms, pyhmmer.hmmsearch(hmms, digitized)):
+        marker_id = name_to_id[hmm.name.decode()]
+        score_cutoff = hmm.cutoffs.trusted1
+        assert score_cutoff is not None
+        for hit in top_hits:
+            if hit.score >= score_cutoff:
+                markers[hit.name.decode()].add(marker_id)
+    return [
+        (name, np.array(list(ids), dtype=np.uint8)) for (name, ids) in markers.items()
+    ]

@@ -897,3 +897,212 @@ def run_bin_aae(opt: BinAvambOptions) -> None:
             comp_metadata.lengths,
         ),
     )
+
+
+# ------------------------------------------------------------ reclustering
+
+
+@dataclass
+class MarkerOptions:
+    "Markers from a precomputed file, or predicted from FASTA + .hmm."
+    markers_path: Optional[Path] = None
+    hmm_path: Optional[Path] = None
+    fasta_path: Optional[Path] = None
+
+    def __post_init__(self):
+        if self.markers_path is None and self.hmm_path is None:
+            raise ValueError(
+                "Either --markers, or --hmm_path (with a FASTA input) "
+                "must be specified"
+            )
+        if self.markers_path is None and (
+            self.hmm_path is not None and self.fasta_path is None
+        ):
+            raise ValueError(
+                "If markers are to be predicted with --hmm_path, the "
+                "composition must be given as --fasta"
+            )
+        for p in (self.markers_path, self.hmm_path):
+            if p is not None and not p.is_file():
+                raise FileNotFoundError(p)
+
+
+def load_markers(
+    options: MarkerOptions,
+    comp_metadata,
+    existing_outdir: Path,
+    n_threads: int,
+):
+    "Load or predict markers (reference __main__.py:1030-1062)."
+    from .markers import Markers
+
+    begin_time = time.time()
+    logger.info("Loading markers")
+    if options.markers_path is not None:
+        logger.info(
+            f'\tLoading markers from existing `markers.npz` at "{options.markers_path}"'
+        )
+        markers = Markers.load(options.markers_path, comp_metadata.refhash)
+    else:
+        logger.info("\tPredicting markers. This might take some time")
+        logger.info(f"\t\tFASTA file located at {options.fasta_path}")
+        logger.info(f"\t\tHMM profile file (.hmm file) located at {options.hmm_path}")
+        markers = Markers.from_files(
+            options.fasta_path,
+            options.hmm_path,
+            list(comp_metadata.identifiers),
+            existing_outdir.joinpath("tmp_markers"),
+            n_threads,
+            comp_metadata.refhash,
+        )
+        markers.save(existing_outdir.joinpath("markers.npz"))
+    elapsed = round(time.time() - begin_time, 2)
+    logger.info(f"\tProcessed markers in {elapsed} seconds.")
+    return markers
+
+
+@dataclass
+class ReclusteringOptions:
+    general: GeneralOptions
+    comp: CompositionOptions
+    markers: MarkerOptions
+    output: BinOutputOptions
+    latent_path: Path = None
+    algorithm: str = "kmeans"
+    clusters_path: Optional[Path] = None
+    taxonomy_path: Optional[Path] = None
+    no_predictor: bool = False
+    abundance: Optional[AbundanceOptions] = None
+    taxometer: Optional["TaxometerOptions"] = None
+
+    def __post_init__(self):
+        if self.latent_path is None or not Path(self.latent_path).is_file():
+            raise FileNotFoundError(self.latent_path)
+        if self.algorithm not in ("kmeans", "dbscan"):
+            raise ValueError(f"Unknown reclustering algorithm {self.algorithm}")
+        if self.algorithm == "kmeans" and self.clusters_path is None:
+            raise ValueError(
+                "If --algorithm is set to 'kmeans', --clusters_path must be set"
+            )
+        if self.algorithm == "dbscan" and self.taxonomy_path is None:
+            raise ValueError(
+                "If --algorithm is set to 'dbscan', --taxonomy must be set"
+            )
+
+
+def run_reclustering(opt: ReclusteringOptions) -> None:
+    "The `recluster` subcommand (reference __main__.py:2071-2184)."
+    from . import reclustering
+    from .taxonomy import Taxonomy
+    from .utils import read_clusters, read_npz
+
+    composition = calc_tnf(
+        opt.comp, opt.general.min_contig_length, opt.general.outdir,
+        opt.output.binsplitter,
+    )
+    markers = load_markers(
+        opt.markers, composition.metadata, opt.general.outdir, opt.general.nthreads
+    )
+    latent = read_npz(opt.latent_path)
+
+    if opt.algorithm == "dbscan":
+        is_refined = False
+        with open(opt.taxonomy_path) as f:
+            is_refined = f.readline().rstrip() == "contigs\tpredictions\tscores"
+        if is_refined:
+            logger.info(f'Loading refined taxonomy from file "{opt.taxonomy_path}"')
+            taxonomy = Taxonomy.from_refined_file(
+                opt.taxonomy_path, composition.metadata, True
+            )
+        elif opt.no_predictor or opt.abundance is None:
+            logger.info(f'Loading unrefined taxonomy from file "{opt.taxonomy_path}"')
+            taxonomy = Taxonomy.from_file(
+                opt.taxonomy_path, composition.metadata, True
+            )
+        else:
+            abundance = calc_abundance(
+                opt.abundance,
+                opt.general.outdir,
+                opt.general.refcheck,
+                composition.metadata,
+                opt.general.nthreads,
+            )
+            taxometer_opt = opt.taxometer or TaxometerOptions(
+                taxonomy_path=opt.taxonomy_path
+            )
+            predicted = predict_taxonomy(
+                composition.metadata,
+                abundance.matrix,
+                composition.matrix,
+                composition.metadata.lengths,
+                opt.general.outdir,
+                taxometer_opt,
+                seed=opt.general.seed,
+            )
+            taxonomy = Taxonomy(
+                [p.contig_taxonomy for p in predicted.contig_taxonomies],
+                predicted.refhash,
+                True,
+            )
+        alg = reclustering.DBScanAlgorithm(
+            composition.metadata, taxonomy, opt.general.nthreads
+        )
+        logger.info("Reclustering")
+        logger.info("\tAlgorithm: DBSCAN")
+    else:
+        with open(opt.clusters_path) as file:
+            clusters = read_clusters(file)
+        contig_to_id = {
+            c: i for (i, c) in enumerate(composition.metadata.identifiers)
+        }
+        clusters_as_ids: list[set[int]] = []
+        for cluster in clusters.values():
+            s = set()
+            for contig in cluster:
+                i = contig_to_id.get(contig)
+                if i is None:
+                    raise ValueError(
+                        f'Contig "{contig}" found in the provided clusters file '
+                        "is not found in the provided composition."
+                    )
+                s.add(i)
+            clusters_as_ids.append(s)
+        alg = reclustering.KmeansAlgorithm(
+            clusters_as_ids,
+            abs(opt.general.seed) % 4294967295,
+            composition.metadata.lengths,
+        )
+        logger.info("Reclustering")
+        logger.info("\tAlgorithm: KMeans")
+
+    reclustered = reclustering.recluster_bins(markers, latent, alg)
+    logger.info("\tReclustering complete")
+
+    identifiers = composition.metadata.identifiers
+    clusters_dict = [
+        (str(i), {identifiers[c] for c in cluster})
+        for i, cluster in enumerate(reclustered)
+    ]
+
+    fasta_output = None
+    if opt.output.min_fasta_output_size is not None:
+        if opt.comp.fasta is None:
+            raise ValueError(
+                "FASTA output requested (--minfasta) but composition was not "
+                "given as FASTA"
+            )
+        fasta_output = (
+            opt.comp.fasta,
+            opt.general.outdir.joinpath("bins"),
+            opt.output.min_fasta_output_size,
+            opt.output.compress_fasta_output,
+            list(identifiers),
+            composition.metadata.lengths,
+        )
+
+    export_clusters(
+        opt.output.binsplitter,
+        clusters_dict,
+        str(opt.general.outdir.joinpath("clusters_reclustered")),
+        fasta_output,
+    )
