@@ -320,3 +320,26 @@ def test_recluster_dbscan_cli(outdir, dataset_dir, tmp_path):
         ]
     )
     assert (out / "clusters_reclustered_unsplit.tsv").is_file()
+
+
+def test_taxonomy_benchmark_cli(dataset_dir, taxonomy_file, tmp_path):
+    out = tmp_path / "taxbench"
+    main(
+        [
+            "taxonomy_benchmark",
+            "--outdir", str(out),
+            "--fasta", str(dataset_dir / "contigs.fna"),
+            "--abundance_tsv", str(dataset_dir / "abundance.tsv"),
+            "--taxonomy", str(taxonomy_file),
+            "-pe", "2",
+            "--seed", "9",
+        ]
+    )
+    assert (out / "results_taxonomy_predicted_kfold.tsv").is_file()
+    assert (out / "accuracy_report.tsv").is_file()
+    report = (out / "accuracy_report.tsv").read_text().splitlines()
+    assert report[0] == "Level\tCorrect\tHave_truth\tN_contigs\tAccuracy"
+    assert len(report) >= 2
+    # kfold predictions aligned with composition identifiers
+    lines = (out / "results_taxonomy_predicted_kfold.tsv").read_text().splitlines()
+    assert len(lines) == N_CONTIGS + 1

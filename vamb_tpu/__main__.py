@@ -485,6 +485,22 @@ Required arguments: Outdir, unrefined taxonomy, at least one composition input a
     add_taxonomy_arguments(predict_parser, taxonomy_only=True)
     add_predictor_arguments(predict_parser)
 
+    validate_parser = subparsers.add_parser(
+        "taxonomy_benchmark",
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+        help="estimates quality of taxonomic annotations",
+        add_help=False,
+        usage="%(prog)s [options]",
+        description="""Estimates quality of taxonomic annotations.
+
+Required arguments: Outdir, a taxonomy file, at least one composition input and at least one abundance input""",
+    )
+    add_general_arguments(validate_parser)
+    add_composition_arguments(validate_parser)
+    add_abundance_arguments(validate_parser)
+    add_taxonomy_arguments(validate_parser, taxonomy_only=True)
+    add_predictor_arguments(validate_parser)
+
     recluster_parser = subparsers.add_parser(
         "recluster",
         formatter_class=argparse.RawDescriptionHelpFormatter,
@@ -628,6 +644,29 @@ Required arguments:
             ),
         )
         run(partial(run_taxonomy_predictor, opt), general)
+    elif args.subcommand == "taxonomy_benchmark":
+        from .pipeline import (
+            TaxometerOptions,
+            TaxometerRunOptions,
+            run_taxonomy_cross_validation,
+        )
+
+        if args.taxonomy is None:
+            raise ValueError("taxonomy_benchmark requires --taxonomy")
+        general = _general_options_from_args(args)
+        opt = TaxometerRunOptions(
+            general=general,
+            comp=_comp_options_from_args(args),
+            abundance=_abundance_options_from_args(args),
+            taxometer=TaxometerOptions(
+                taxonomy_path=args.taxonomy,
+                nepochs=args.pred_nepochs,
+                batchsize=args.pred_batchsize,
+                softmax_threshold=args.pred_softmax_threshold,
+                ploss=args.ploss,
+            ),
+        )
+        run(partial(run_taxonomy_cross_validation, opt), general)
     elif args.subcommand == "recluster":
         from .pipeline import (
             MarkerOptions,

@@ -1106,3 +1106,162 @@ def run_reclustering(opt: ReclusteringOptions) -> None:
         str(opt.general.outdir.joinpath("clusters_reclustered")),
         fasta_output,
     )
+
+
+# ----------------------------------------------------- taxonomy benchmark
+
+
+def compare_taxonomies(
+    pred_file: Path,
+    true_file: Path,
+    output_file: Path,
+    comp_metadata,
+) -> None:
+    """Per-level accuracy of a predicted (refined) taxonomy vs ground truth
+    (reference __main__.py:1645-1727)."""
+    import csv
+
+    from .taxonomy import Taxonomy
+
+    pred_taxonomy = Taxonomy.from_refined_file(pred_file, comp_metadata, False)
+    true_taxonomy = Taxonomy.from_file(true_file, comp_metadata, False)
+
+    n_contigs = len(pred_taxonomy.contig_taxonomies)
+    max_levels = max(
+        max((len(t.ranks) if t is not None else 0) for t in pred_taxonomy.contig_taxonomies),
+        max((len(t.ranks) if t is not None else 0) for t in true_taxonomy.contig_taxonomies),
+        1,
+    )
+    correct = [0] * max_levels
+    have_truth = [0] * max_levels
+    for pred_t, true_t in zip(
+        pred_taxonomy.contig_taxonomies, true_taxonomy.contig_taxonomies
+    ):
+        pred_ranks = [] if pred_t is None else pred_t.ranks[:max_levels]
+        true_ranks = [] if true_t is None else true_t.ranks[:max_levels]
+        for i, t in enumerate(true_ranks):
+            if t is None:
+                continue
+            have_truth[i] += 1
+            if i < len(pred_ranks) and pred_ranks[i] == t:
+                correct[i] += 1
+
+    with open(output_file, "w", newline="") as f:
+        w = csv.writer(f, delimiter="\t")
+        w.writerow(["Level", "Correct", "Have_truth", "N_contigs", "Accuracy"])
+        for i in range(max_levels):
+            acc = correct[i] / n_contigs if n_contigs else 0.0
+            w.writerow([f"Level_{i}", correct[i], have_truth[i], n_contigs, f"{acc:.6f}"])
+
+
+def cross_validate_taxonomy(
+    comp_metadata,
+    abundance_matrix: np.ndarray,
+    tnfs: np.ndarray,
+    lengths: np.ndarray,
+    out_dir: Path,
+    options: "TaxometerOptions",
+    seed: int,
+) -> None:
+    """5-fold CV of the Taxometer predictor + accuracy report
+    (reference __main__.py:1822-1889). Unlike the reference, fold
+    predictions are scattered back to their global contig positions before
+    writing, so rows align with the composition's identifiers."""
+    from sklearn.model_selection import KFold
+
+    from .models import make_dataset
+    from .models.taxometer import Taxometer
+    from .taxonomy import (
+        ContigTaxonomy,
+        PredictedContigTaxonomy,
+        PredictedTaxonomy,
+        Taxonomy,
+    )
+
+    logger.info("Running cross validation for the taxonomy")
+    taxonomy = Taxonomy.from_file(options.taxonomy_path, comp_metadata, False)
+    n_contigs = len(taxonomy.contig_taxonomies)
+    nodes, ind_nodes, table_parent, targets = targets_from_taxonomy(
+        taxonomy.contig_taxonomies
+    )
+    nodes_ar = np.array(nodes)
+
+    predictions: list = [None] * n_contigs
+    kf = KFold(n_splits=5, shuffle=True, random_state=abs(seed) % 4294967295)
+    for fold, (train_idx, test_idx) in enumerate(kf.split(np.arange(n_contigs))):
+        logger.info(
+            f"Fold {fold + 1}: Training on {len(train_idx)} contigs, "
+            f"testing on {len(test_idx)} contigs"
+        )
+        train_mask = np.zeros(n_contigs, dtype=bool)
+        train_mask[train_idx] = True
+        test_mask = ~train_mask
+
+        model = Taxometer(
+            abundance_matrix.shape[1],
+            len(nodes),
+            nodes,
+            table_parent,
+            nhiddens=[512, 512, 512, 512],
+            hier_loss=options.ploss,
+            seed=seed + fold,
+        )
+        train_ds = make_dataset(
+            abundance_matrix[train_mask].copy(), tnfs[train_mask].copy(),
+            lengths[train_mask],
+        )
+        model.trainmodel(
+            train_ds,
+            targets[train_mask],
+            nepochs=options.nepochs,
+            batchsize=options.batchsize,
+            batchsteps=options.batchsteps,
+            logger=logger.info,
+        )
+        test_ds = make_dataset(
+            abundance_matrix[test_mask].copy(), tnfs[test_mask].copy(),
+            lengths[test_mask],
+        )
+        test_positions = np.flatnonzero(test_mask)
+        row = 0
+        for predicted_vector, _ in model.predict(test_ds):
+            for j in range(predicted_vector.shape[0]):
+                threshold_mask = predicted_vector[j] > options.softmax_threshold
+                ranks = list(nodes_ar[threshold_mask][1:])
+                probs = predicted_vector[j][threshold_mask][1:]
+                predictions[test_positions[row]] = PredictedContigTaxonomy(
+                    ContigTaxonomy(ranks), probs
+                )
+                row += 1
+
+    assert all(p is not None for p in predictions)
+    predicted_path = out_dir.joinpath("results_taxonomy_predicted_kfold.tsv")
+    accuracy_file = out_dir.joinpath("accuracy_report.tsv")
+    with open(predicted_path, "w") as file:
+        PredictedTaxonomy(predictions, comp_metadata, False).write_as_tsv(
+            file, comp_metadata
+        )
+    with open(out_dir.joinpath("file_tracking.tsv"), "w") as file:
+        file.write(f"{options.taxonomy_path}\t{predicted_path}\n")
+    logger.info(
+        f"Wrote k-fold predicted taxonomy for {options.taxonomy_path} to {predicted_path}"
+    )
+    compare_taxonomies(
+        predicted_path, options.taxonomy_path, accuracy_file, comp_metadata
+    )
+
+
+def run_taxonomy_cross_validation(opt: TaxometerRunOptions) -> None:
+    "The `taxonomy_benchmark` subcommand (reference __main__.py:1919-1938)."
+    composition, abundance = load_composition_and_abundance(
+        opt.general, opt.comp, opt.abundance, BinSplitter.inert_splitter()
+    )
+    cross_validate_taxonomy(
+        composition.metadata,
+        abundance.matrix,
+        composition.matrix,
+        composition.metadata.lengths,
+        opt.general.outdir,
+        opt.taxometer,
+        opt.general.seed,
+    )
