@@ -1,0 +1,182 @@
+"""Native BAM coverage reader tests with hand-computed expectations."""
+
+import numpy as np
+import pytest
+
+from tests.bamgen import alignment, cigar_op, write_bam
+
+try:
+    from vamb_tpu.bam import coverage_from_bams, bam_ref_names
+
+    HAVE_NATIVE = True
+except ImportError:
+    HAVE_NATIVE = False
+
+pytestmark = pytest.mark.skipif(
+    not HAVE_NATIVE, reason="native libbamcov.so not built"
+)
+
+# contig long enough that end exclusion (75 bp each side) leaves a clean
+# interior: length 1150 -> positions 75..1074 (1000 interior positions)
+REFS = [("c1", 1150), ("c2", 1150)]
+
+
+def full_cover_alignments(ref_id, depth, length=1150):
+    "Reads covering the whole contig `depth` times."
+    return [
+        alignment(ref_id, 0, [cigar_op(length, "M")], read_name=f"r{i}".encode())
+        for i in range(depth)
+    ]
+
+
+def test_uniform_coverage(tmp_path):
+    p = tmp_path / "a.bam"
+    write_bam(p, REFS, full_cover_alignments(0, 3))
+    headers, matrix = coverage_from_bams([str(p)])
+    assert headers == ["c1", "c2"]
+    assert matrix.shape == (2, 1)
+    np.testing.assert_allclose(matrix[0, 0], 3.0, rtol=1e-6)
+    np.testing.assert_allclose(matrix[1, 0], 0.0)
+
+
+def test_trimmed_mean_drops_extremes(tmp_path):
+    """Interior = 1000 positions. 100 positions at depth 100 (the top 10%)
+    are trimmed away entirely; the rest has depth 1."""
+    p = tmp_path / "a.bam"
+    alns = full_cover_alignments(0, 1)
+    # pile 99 extra reads on interior positions 75..175 (100 positions)
+    for i in range(99):
+        alns.append(
+            alignment(0, 75, [cigar_op(100, "M")], read_name=f"x{i}".encode())
+        )
+    write_bam(p, REFS, alns)
+    _, matrix = coverage_from_bams([str(p)])
+    # sorted interior depths: 900 positions of 1, 100 positions of 100
+    # trim 10% low (100 ones) and 10% high (the 100 hundreds) -> mean 1.0
+    np.testing.assert_allclose(matrix[0, 0], 1.0, rtol=1e-6)
+
+
+def test_min_identity_filter(tmp_path):
+    p = tmp_path / "a.bam"
+    good = [
+        alignment(0, 0, [cigar_op(1150, "M")], nm=0, read_name=b"good")
+    ]
+    bad = [
+        alignment(0, 0, [cigar_op(1150, "M")], nm=600, read_name=b"bad")
+    ]
+    write_bam(p, REFS, good + bad)
+    _, strict = coverage_from_bams([str(p)], minid=0.9)
+    np.testing.assert_allclose(strict[0, 0], 1.0, rtol=1e-6)  # bad filtered
+    _, lax = coverage_from_bams([str(p)], minid=0.0)
+    np.testing.assert_allclose(lax[0, 0], 2.0, rtol=1e-6)
+
+
+def test_skip_flags(tmp_path):
+    p = tmp_path / "a.bam"
+    alns = full_cover_alignments(0, 1)
+    for flag in (0x4, 0x100, 0x400, 0x800):
+        alns.append(
+            alignment(0, 0, [cigar_op(1150, "M")], flag=flag,
+                      read_name=f"f{flag}".encode())
+        )
+    write_bam(p, REFS, alns)
+    _, matrix = coverage_from_bams([str(p)])
+    np.testing.assert_allclose(matrix[0, 0], 1.0, rtol=1e-6)
+
+
+def test_cigar_deletions_and_clips(tmp_path):
+    "Deletions cover the reference; soft clips don't."
+    p = tmp_path / "a.bam"
+    # 500M 100D 550M covers the whole contig; 100S at the start does not
+    alns = [
+        alignment(
+            0, 0,
+            [cigar_op(100, "S"), cigar_op(500, "M"), cigar_op(100, "D"),
+             cigar_op(550, "M")],
+            read_name=b"r0",
+        )
+    ]
+    write_bam(p, REFS, alns)
+    _, matrix = coverage_from_bams([str(p)])
+    np.testing.assert_allclose(matrix[0, 0], 1.0, rtol=1e-6)
+
+
+def test_multiple_files_columns(tmp_path):
+    p1, p2 = tmp_path / "a.bam", tmp_path / "b.bam"
+    write_bam(p1, REFS, full_cover_alignments(0, 2))
+    write_bam(p2, REFS, full_cover_alignments(1, 4))
+    headers, matrix = coverage_from_bams([str(p1), str(p2)], nthreads=2)
+    assert matrix.shape == (2, 2)
+    np.testing.assert_allclose(matrix, [[2.0, 0.0], [0.0, 4.0]], rtol=1e-6)
+
+
+def test_mismatched_references_raise(tmp_path):
+    p1, p2 = tmp_path / "a.bam", tmp_path / "b.bam"
+    write_bam(p1, REFS, [])
+    write_bam(p2, [("other", 500)], [])
+    with pytest.raises(ValueError, match="different reference"):
+        coverage_from_bams([str(p1), str(p2)])
+
+
+def test_ref_names(tmp_path):
+    p = tmp_path / "a.bam"
+    write_bam(p, REFS, [])
+    assert bam_ref_names(str(p)) == ["c1", "c2"]
+
+
+def test_not_a_bam(tmp_path):
+    p = tmp_path / "bad.bam"
+    p.write_bytes(b"this is not a bam file")
+    with pytest.raises(ValueError, match="BAM"):
+        coverage_from_bams([str(p)])
+
+
+def test_short_contig_zero(tmp_path):
+    "Contigs shorter than 2*75 get coverage 0 (all positions excluded)."
+    p = tmp_path / "a.bam"
+    write_bam(p, [("tiny", 100)], [alignment(0, 0, [cigar_op(100, "M")])])
+    _, matrix = coverage_from_bams([str(p)])
+    np.testing.assert_allclose(matrix[0, 0], 0.0)
+
+
+REFERENCE_BAMS = __import__("pathlib").Path("/root/reference/test/data/bam")
+
+
+@pytest.mark.skipif(not REFERENCE_BAMS.is_dir(), reason="reference data absent")
+def test_real_mini_bams_parse():
+    "The reference repo's 25 bundled mini-BAMs parse and yield finite values."
+    paths = sorted(str(p) for p in REFERENCE_BAMS.glob("*.bam"))[:5]
+    headers, matrix = coverage_from_bams(paths, minid=0.9, nthreads=4)
+    assert len(headers) > 0
+    assert matrix.shape == (len(headers), len(paths))
+    assert np.all(np.isfinite(matrix))
+    assert np.all(matrix >= 0)
+    assert matrix.sum() > 0  # some coverage present
+
+
+def test_abundance_from_files_integration(tmp_path):
+    "Abundance.from_files end-to-end over the native reader."
+    from vamb_tpu.abundance import Abundance
+    from vamb_tpu.composition import CompositionMetaData
+
+    p1, p2 = tmp_path / "a.bam", tmp_path / "b.bam"
+    refs = [("c1", 2500), ("c2", 3000), ("short", 500)]
+    write_bam(p1, refs, [alignment(0, 0, [cigar_op(2500, "M")])])
+    write_bam(p2, refs, [alignment(1, 0, [cigar_op(3000, "M")]) for _ in range(2)])
+    # composition kept only the two long contigs
+    meta = CompositionMetaData(
+        np.array(["c1", "c2"], dtype=object),
+        np.array([2500, 3000]),
+        np.array([True, True, False]),
+        2000,
+    )
+    abundance = Abundance.from_files(
+        [p1, p2], None, meta, verify_refhash=True, minid=0.0, nthreads=2
+    )
+    assert abundance.nseqs == 2
+    assert abundance.nsamples == 2
+    np.testing.assert_allclose(abundance.matrix[0], [1.0, 0.0], atol=1e-5)
+    np.testing.assert_allclose(abundance.matrix[1], [0.0, 2.0], atol=1e-5)
+    # mantissa masked
+    bits = abundance.matrix.view(np.uint32)
+    assert np.all(bits & 0xFFF == 0)
