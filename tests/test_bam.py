@@ -180,3 +180,31 @@ def test_abundance_from_files_integration(tmp_path):
     # mantissa masked
     bits = abundance.matrix.view(np.uint32)
     assert np.all(bits & 0xFFF == 0)
+
+
+def test_chunked_loading_with_spill(tmp_path):
+    "Chunked out-of-core loading equals in-memory loading."
+    from vamb_tpu.abundance import Abundance
+    from vamb_tpu.composition import CompositionMetaData
+
+    refs = [("c1", 2500), ("c2", 3000)]
+    paths = []
+    for i in range(5):
+        p = tmp_path / f"{i}.bam"
+        write_bam(p, refs, [alignment(i % 2, 0, [cigar_op(2500, "M")])] * (i + 1))
+        paths.append(p)
+    meta = CompositionMetaData(
+        np.array(["c1", "c2"], dtype=object),
+        np.array([2500, 3000]),
+        np.array([True, True]),
+        2000,
+    )
+    in_memory = Abundance.from_files(
+        paths, None, meta, verify_refhash=True, minid=0.0, nthreads=16
+    )
+    cache = tmp_path / "cache"
+    chunked = Abundance.from_files(
+        paths, cache, meta, verify_refhash=True, minid=0.0, nthreads=2
+    )
+    np.testing.assert_array_equal(in_memory.matrix, chunked.matrix)
+    assert not any(cache.glob("*.npz"))  # spill files cleaned up

@@ -79,6 +79,11 @@ def add_general_arguments(subparser):
         default=int.from_bytes(os.urandom(7), "little"),
         help="Random seed (determinism not guaranteed)",
     )
+    general.add_argument(
+        "--profile",
+        help="Write a jax.profiler device trace to outdir/profile [False]",
+        action="store_true",
+    )
     return subparser
 
 
@@ -304,6 +309,7 @@ def _general_options_from_args(args):
         nthreads=args.nthreads,
         refcheck=not args.norefcheck,
         seed=args.seed,
+        profile=args.profile,
     )
 
 
@@ -388,7 +394,15 @@ def run(runner, general) -> None:
     logger.info(f"Starting vamb_tpu version {__version__}")
     logger.info("Random seed is " + str(general.seed))
     logger.info(f"Invoked with CLI args: '{' '.join(sys.argv)}'")
-    runner()
+    if getattr(general, "profile", False):
+        import jax
+
+        trace_dir = str(general.outdir / "profile")
+        logger.info(f"Writing jax.profiler trace to {trace_dir}")
+        with jax.profiler.trace(trace_dir):
+            runner()
+    else:
+        runner()
     elapsed = round(time.time() - begintime, 2)
     logger.info(f"Completed vamb_tpu in {elapsed} seconds.")
 

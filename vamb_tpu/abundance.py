@@ -190,13 +190,51 @@ class Abundance:
 
         from .bam import coverage_from_bams  # lazy: requires native extension
 
-        headers, matrix = coverage_from_bams(
-            [str(p) for p in paths],
-            minid=minid,
-            nthreads=min(nthreads, 16),
-            trim_lower=0.1,
-            trim_upper=0.1,
-        )
+        # Out-of-core: process at most min(nthreads, 16) BAMs at a time
+        # (reference parsebam.py:117-122); with a cache directory, spill each
+        # chunk's columns to npz and reassemble column blocks at the end
+        # (reference parsebam.py:151-193) so peak RAM is one chunk.
+        chunksize = min(max(nthreads, 1), 16)
+        chunks = [paths[i : i + chunksize] for i in range(0, len(paths), chunksize)]
+        headers: Optional[list[str]] = None
+        chunk_results: list = []  # matrices, or cache paths when spilling
+        spill = cache_directory is not None and len(chunks) > 1
+        if spill:
+            Path(cache_directory).mkdir(parents=True, exist_ok=True)
+        for chunk_i, chunk in enumerate(chunks):
+            chunk_headers, chunk_matrix = coverage_from_bams(
+                [str(p) for p in chunk],
+                minid=minid,
+                nthreads=chunksize,
+                trim_lower=0.1,
+                trim_upper=0.1,
+            )
+            if headers is None:
+                headers = chunk_headers
+            elif chunk_headers != headers:
+                raise ValueError(
+                    f"BAM files {chunk} have different reference sequences "
+                    "than earlier files; all BAMs must be mapped to the same "
+                    "contig catalogue"
+                )
+            if spill:
+                spill_path = Path(cache_directory).joinpath(f"chunk_{chunk_i}.npz")
+                np.savez_compressed(spill_path, matrix=chunk_matrix)
+                chunk_results.append(spill_path)
+            else:
+                chunk_results.append(chunk_matrix)
+        assert headers is not None
+        if spill:
+            matrix = np.empty((len(headers), len(paths)), dtype=np.float32)
+            col = 0
+            for spill_path in chunk_results:
+                with np.load(spill_path) as arrs:
+                    block = arrs["matrix"]
+                matrix[:, col : col + block.shape[1]] = block
+                col += block.shape[1]
+                spill_path.unlink()
+        else:
+            matrix = np.concatenate(chunk_results, axis=1)
 
         if len(comp_metadata.mask) != len(headers):
             raise ValueError(

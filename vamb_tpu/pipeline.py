@@ -36,6 +36,7 @@ class GeneralOptions:
     nthreads: int = 1
     refcheck: bool = True
     seed: int = 0
+    profile: bool = False  # write a jax.profiler trace under outdir/profile
 
     def __post_init__(self):
         if self.min_contig_length < 250:
