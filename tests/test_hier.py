@@ -172,3 +172,80 @@ class TestPickers:
         prob2 = np.array([1.0, 0.8, 0.5])
         keep2 = hier.pareto_optimal_predictions(info2, prob2)
         assert 2 not in keep2
+
+
+class TestTreeUtilities:
+    def test_rooted_subtree(self, tree):
+        sub = hier.rooted_subtree(tree, np.array([0, 1, 3, 4]))
+        assert sub.num_nodes() == 4
+        np.testing.assert_array_equal(sub.parents(), [-1, 0, 1, 1])
+
+    def test_rooted_subtree_spanning(self, tree):
+        sub, nodes = hier.rooted_subtree_spanning(tree, np.array([6]))
+        np.testing.assert_array_equal(nodes, [0, 1, 4, 6])
+        assert sub.num_nodes() == 4
+
+    def test_uniform_cond(self, tree):
+        p = hier.uniform_cond(tree)
+        assert p[0] == 1.0
+        # A and B are equally likely children of root
+        np.testing.assert_allclose(p[1], 0.5)
+        np.testing.assert_allclose(p[2], 0.5)
+        # F = P(A) * P(D|A) * P(F|D) = 0.5 * 0.5 * 1
+        np.testing.assert_allclose(p[6], 0.25)
+
+    def test_truncate_at_lca(self, tree):
+        # prediction deeper than gt on same path -> truncated to gt
+        out = hier.truncate_at_lca(tree, np.array([4]), np.array([6]))
+        assert out[0] == 4
+        # different branch -> prediction kept
+        out = hier.truncate_at_lca(tree, np.array([5]), np.array([6]))
+        assert out[0] == 6
+
+    def test_level_nodes(self, tree):
+        levels = hier.level_nodes(tree)
+        np.testing.assert_array_equal(levels[0], [1, 2])
+        np.testing.assert_array_equal(levels[1], [3, 4, 5])
+        np.testing.assert_array_equal(levels[2], [6])
+        extended = hier.level_nodes(tree, extend=True)
+        assert 3 in extended[2] and 5 in extended[2]
+
+    def test_siblings(self, tree):
+        sibs = hier.siblings(tree)
+        np.testing.assert_array_equal(sibs[1], [2])
+        np.testing.assert_array_equal(sibs[3], [4])
+        assert len(sibs[0]) == 0
+        assert len(sibs[5]) == 0  # only child
+
+    def test_format_tree(self, tree):
+        text = hier.format_tree(tree, ["root", "A", "B", "C", "D", "E", "F"])
+        assert text.splitlines()[0] == "root"
+        assert "└── F" in text
+
+    def test_most_confident_leaf(self, tree):
+        p = np.zeros((1, 7))
+        p[0, [3, 5, 6]] = [0.2, 0.5, 0.3]
+        assert hier.most_confident_leaf(tree, p)[0] == 5
+
+    def test_max_info_majority_subtree(self, tree):
+        p = np.array([[1.0, 0.9, 0.1, 0.3, 0.6, 0.1, 0.6]])
+        # most specific non-trivial node with p > 0.5: node 4 is trivial
+        # (one child), node 6 has p 0.6 and 1 leaf descendant
+        assert hier.max_info_majority_subtree(tree, p)[0] == 6
+
+    def test_plurality_threshold(self, tree):
+        p = np.array([[1.0, 0.7, 0.3, 0.4, 0.3, 0.3, 0.3]])
+        # non-trivial families: root{A,B} 2nd best 0.3; A{C,D} 2nd best 0.3
+        np.testing.assert_allclose(hier.plurality_threshold(tree, p), [0.3])
+
+    def test_lca_metric(self, tree):
+        depth = tree.depths()
+        m = hier.LCAMetric(tree, depth)
+        gt, pr = np.array([6]), np.array([3])  # lca = 1 (depth 1)
+        assert m.value_at_lca(gt, pr)[0] == 1
+        assert m.deficient(gt, pr)[0] == 2  # gt depth 3 - lca 1
+        assert m.excess(gt, pr)[0] == 1  # pr depth 2 - lca 1
+        assert m.dist(gt, pr)[0] == 3
+        np.testing.assert_allclose(m.recall(gt, pr), [1 / 3])
+        np.testing.assert_allclose(m.precision(gt, pr), [1 / 2])
+        np.testing.assert_allclose(m.f1(gt, pr), [0.4])

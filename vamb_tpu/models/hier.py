@@ -416,3 +416,180 @@ def pareto_optimal_predictions(
         ([True], (prob_v[1:] > prob_v[:-1]) | (info_v[1:] > max_info[:-1]))
     )
     return valid_inds[order[keep]]
+
+
+# -------------------------------------------------- additional tree algebra
+
+
+def rooted_subtree(tree: Hierarchy, nodes: np.ndarray) -> Hierarchy:
+    "Subtree over `nodes` (must include root 0 and all needed parents)."
+    assert nodes[0] == 0
+    reindex = np.full(tree.num_nodes(), -1)
+    reindex[nodes] = np.arange(len(nodes))
+    parents = tree.parents()
+    subtree_parents = np.where(parents[nodes] >= 0, reindex[parents[nodes]], -1)
+    assert np.all(subtree_parents[1:] >= 0), "parent not in subset"
+    assert np.all(subtree_parents < np.arange(len(nodes)))
+    return Hierarchy(subtree_parents)
+
+
+def ancestors_union(tree: Hierarchy, node_subset: np.ndarray) -> np.ndarray:
+    "Union of ancestors (incl. selves) of the given nodes."
+    paths = tree.paths_padded(-1)[node_subset]
+    return np.unique(paths[paths >= 0])
+
+
+def rooted_subtree_spanning(
+    tree: Hierarchy, nodes: np.ndarray
+) -> tuple[Hierarchy, np.ndarray]:
+    nodes = ancestors_union(tree, nodes)
+    return rooted_subtree(tree, nodes), nodes
+
+
+def uniform_cond(tree: Hierarchy) -> np.ndarray:
+    "Node likelihoods under uniform child choice at every conditional."
+    node_to_num_children = {k: len(v) for k, v in tree.children().items()}
+    num_children = np.asarray(
+        [node_to_num_children.get(x, 0) for x in range(tree.num_nodes())]
+    )
+    parent_index = tree.parents()
+    log_cond_p = np.concatenate([[0.0], -np.log(num_children[parent_index[1:]])])
+    is_ancestor = tree.ancestor_mask(strict=False)
+    return np.exp(np.dot(is_ancestor.T, log_cond_p))
+
+
+def truncate_at_lca(tree: Hierarchy, gt: np.ndarray, pr: np.ndarray) -> np.ndarray:
+    "Truncate predictions that overshoot below the ground truth."
+    lca = FindLCA(tree)(gt, pr)
+    return np.where(gt == lca, gt, pr)
+
+
+def level_nodes(tree: Hierarchy, extend: bool = False) -> list[np.ndarray]:
+    "Nodes at each depth (leaves optionally extended to deeper levels)."
+    node_depth = tree.depths()
+    is_leaf = tree.leaf_mask()
+    max_depth = int(np.max(node_depth))
+    level_depth = np.arange(1, max_depth + 1)
+    if not extend:
+        level_masks = level_depth[:, None] == node_depth
+    else:
+        level_masks = (level_depth[:, None] == node_depth) | (
+            (level_depth[:, None] > node_depth) & is_leaf
+        )
+    return [np.flatnonzero(mask) for mask in level_masks]
+
+
+def siblings(tree: Hierarchy) -> list[np.ndarray]:
+    "For each node, the other children of its parent (root: empty)."
+    node_parent = tree.parents()
+    node_children = tree.children()
+    out = []
+    for u in range(tree.num_nodes()):
+        p = node_parent[u]
+        if p < 0:
+            out.append(np.empty(0, dtype=int))
+        else:
+            sibs = node_children[p]
+            out.append(sibs[sibs != u])
+    return out
+
+
+def format_tree(
+    tree: Hierarchy, node_names: Optional[list[str]] = None, include_size: bool = False
+) -> str:
+    "ASCII rendering of the tree for logs/debugging."
+    if node_names is None:
+        node_names = [str(i) for i in range(tree.num_nodes())]
+    node_to_children = tree.children()
+    node_sizes = tree.num_leaf_descendants()
+
+    def subtree(node, node_prefix, desc_prefix):
+        name = node_names[node]
+        size = node_sizes[node]
+        text = f"{name} ({size})" if include_size and size > 1 else name
+        yield node_prefix + text + "\n"
+        children = node_to_children.get(node, ())
+        for i, child in enumerate(children):
+            is_last = i == len(children) - 1
+            yield from subtree(
+                child,
+                node_prefix=desc_prefix + ("└── " if is_last else "├── "),
+                desc_prefix=desc_prefix + ("    " if is_last else "│   "),
+            )
+
+    return "".join(subtree(0, "", ""))
+
+
+def most_confident_leaf(tree: Hierarchy, p: np.ndarray) -> np.ndarray:
+    "Leaf with highest probability per row."
+    assert p.shape[-1] == tree.num_nodes()
+    is_leaf = tree.leaf_mask()
+    masked = np.where(is_leaf, p, -np.inf)
+    return np.argmax(masked, axis=-1)
+
+
+def max_info_majority_subtree(tree: Hierarchy, p: np.ndarray) -> np.ndarray:
+    "Most specific non-trivial node with probability > 0.5."
+    assert p.shape[-1] == tree.num_nodes()
+    specificity = -tree.num_leaf_descendants()
+    not_trivial = tree.num_children() != 1
+    return argmax_with_confidence(specificity, p, 0.5, not_trivial)
+
+
+def plurality_threshold(
+    tree: Hierarchy, p: np.ndarray, keepdims: bool = False
+) -> np.ndarray:
+    "Largest second-best child probability over all non-trivial families."
+    children = tree.children()
+    top2 = []
+    for _u, inds in children.items():
+        if len(inds) > 1:
+            vals = np.sort(p[..., inds], axis=-1)[..., -2]
+            top2.append(vals)
+    threshold = np.max(np.stack(top2, axis=-1), axis=-1)
+    if keepdims:
+        threshold = np.expand_dims(threshold, -1)
+    return threshold
+
+
+class LCAMetric:
+    "Value-at-LCA metrics (depth/info recall, precision, f1, distances)."
+
+    def __init__(self, tree: Hierarchy, value: np.ndarray):
+        self.value = value
+        self.find_lca = FindLCA(tree)
+
+    def value_at_lca(self, gt, pr):
+        return self.value[self.find_lca(gt, pr)]
+
+    def deficient(self, gt, pr):
+        return self.value[gt] - self.value[self.find_lca(gt, pr)]
+
+    def excess(self, gt, pr):
+        return self.value[pr] - self.value[self.find_lca(gt, pr)]
+
+    def dist(self, gt, pr):
+        lca = self.find_lca(gt, pr)
+        return (self.value[pr] - self.value[lca]) + (self.value[gt] - self.value[lca])
+
+    def recall(self, gt, pr):
+        lca_value = self.value[self.find_lca(gt, pr)]
+        gt_value = self.value[gt]
+        with np.errstate(invalid="ignore"):
+            return np.where(
+                (lca_value == 0) & (gt_value == 0), 1.0, lca_value / gt_value
+            )
+
+    def precision(self, gt, pr):
+        lca_value = self.value[self.find_lca(gt, pr)]
+        pr_value = self.value[pr]
+        with np.errstate(invalid="ignore"):
+            return np.where(
+                (lca_value == 0) & (pr_value == 0), 1.0, lca_value / pr_value
+            )
+
+    def f1(self, gt, pr):
+        r = self.recall(gt, pr)
+        p = self.precision(gt, pr)
+        with np.errstate(divide="ignore"):
+            return 2 / (1 / r + 1 / p)
