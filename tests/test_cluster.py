@@ -113,3 +113,79 @@ class TestClusterGenerator:
         gen = ClusterGenerator(matrix, lengths)
         first = next(iter(gen))
         assert first.seed == int(np.argmax(lengths))
+
+
+class TestFindThresholdVectorized:
+    """Property test: the closed-form valley scan in the device engine must
+    match the reference's sequential state machine (cluster.py:483-543)."""
+
+    @staticmethod
+    def sequential(densities, pvr):
+        "Direct transcription of the sequential scan semantics."
+        peak_density = 0.0
+        peak_over = False
+        threshold = None
+        density_at_minimum = 0.0
+        x = 0.0
+        delta_x = 0.3 / 60
+        for density in densities:
+            if not peak_over and density > peak_density:
+                if x > 0.1:
+                    return (None, None, False)
+                peak_density = density
+            if not peak_over and density < 0.6 * peak_density:
+                peak_over = True
+                density_at_minimum = density
+            if peak_over and density > 1.5 * density_at_minimum:
+                break
+            if peak_over and density < density_at_minimum:
+                density_at_minimum = density
+                if density < pvr * peak_density:
+                    threshold = x
+            x += delta_x
+        if threshold is None or threshold > 0.2 + pvr:
+            return (None, None, False)
+        return (threshold, density_at_minimum / peak_density, True)
+
+    def test_matches_sequential_on_random_histograms(self):
+        import jax
+        import jax.numpy as jnp
+
+        from vamb_tpu.cluster import _NORMALPDF as PDF
+        from vamb_tpu.cluster import _find_threshold_device
+
+        scan = jax.jit(_find_threshold_device)
+
+        def _device_find_threshold(hist, pvr):
+            thr, opvr, found = scan(jnp.asarray(hist), jnp.float32(pvr))
+            return float(thr), float(opvr), bool(found)
+
+        rng = np.random.default_rng(0)
+
+        for trial in range(500):
+            kind = trial % 5
+            if kind == 0:
+                hist = rng.uniform(0, 100, 60)
+            elif kind == 1:
+                # clean peak then valley then peak
+                hist = np.concatenate(
+                    [rng.uniform(50, 100, 10), rng.uniform(0, 5, 20),
+                     rng.uniform(30, 80, 30)]
+                )
+            elif kind == 2:
+                hist = np.zeros(60)
+                hist[rng.integers(0, 60, 5)] = rng.uniform(10, 100, 5)
+            elif kind == 3:
+                hist = np.linspace(100, 0, 60) + rng.uniform(0, 10, 60)
+            else:
+                hist = np.linspace(0, 100, 60) + rng.uniform(0, 10, 60)
+            hist = hist.astype(np.float32)
+            pvr = float(rng.choice([0.1, 0.2, 0.3, 0.5, 0.6]))
+            densities = np.convolve(hist, PDF, mode="same")
+
+            seq_thr, seq_opvr, seq_found = self.sequential(densities, pvr)
+            vec_thr, vec_opvr, vec_found = _device_find_threshold(hist, pvr)
+            assert bool(vec_found) == seq_found, (trial, seq_thr, vec_thr)
+            if seq_found:
+                np.testing.assert_allclose(vec_thr, seq_thr, atol=1e-6)
+                np.testing.assert_allclose(vec_opvr, seq_opvr, rtol=1e-5)

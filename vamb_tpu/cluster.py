@@ -66,9 +66,25 @@ _NORMALPDF = (
     _DELTA_X / (0.01 * np.sqrt(2 * np.pi)) * np.exp(-0.5 * (_PDF_X / 0.01) ** 2)
 ).astype(np.float32)
 
+# The valley scan's x grid, replicating the reference's float64 accumulation
+# `x += XMAX / len(histogram)` (cluster.py:487,532) — accumulated binary64
+# sums differ from i * dx in the last ulp, and the `x > 0.1` dead-check
+# (cluster.py:511) sits exactly on such a boundary at bin 20.
+_X_GRID = np.concatenate(
+    [[0.0], np.add.accumulate(np.full(_NBINS - 1, _XMAX / _NBINS))]
+)
+_X_GT_01 = _X_GRID > 0.1  # static: x strictly past 0.1 per bin
+
 _LANES = 128
 _SUBLANES = 8
 _DEFAULT_BATCH = 128  # clusters emitted per device dispatch
+
+# Candidate sampling uses top-k of Gumbel noise (= uniform sample without
+# replacement). On TPU, exact top_k sorts the full vector; approx_max_k is a
+# single-pass kernel with >=0.95 recall — for *sampling*, any deviation just
+# picks different random candidates, so it is the default on TPU. CPU always
+# uses exact top_k (approx falls back to it anyway), keeping tests exact.
+_USE_APPROX_TOPK = True
 
 _KIND_NORMAL = 0
 _KIND_LONER = 1
@@ -149,6 +165,67 @@ def normalize(matrix: np.ndarray, inplace: bool = False) -> np.ndarray:
 # ---------------------------------------------------------- device engine
 
 
+def _find_threshold_device(hist, pvr):
+    """Smoothed-histogram valley scan (reference cluster.py:483-543).
+
+    The reference's sequential 60-step state machine is re-expressed in
+    closed form with cummax/cummin so it compiles to a handful of vector
+    ops instead of 60 serialized scan steps (each scan step costs fixed
+    device overhead, which dominated per-cluster wall time). Equivalence
+    with the sequential semantics is property-tested in
+    tests/test_cluster.py.
+
+    Returns (threshold, observed_pvr, found). threshold < 0 => none.
+    """
+    densities = jnp.convolve(hist, jnp.asarray(_NORMALPDF), mode="same")
+    xs = jnp.asarray(_X_GRID.astype(np.float32))
+    x_gt_01 = jnp.asarray(_X_GT_01)
+    i = jnp.arange(_NBINS)
+    inf = jnp.float32(jnp.inf)
+
+    # Running peak: until the peak is over, peak == cumulative max
+    # (initialized at 0.0, densities are nonnegative).
+    run_max_incl = jax.lax.cummax(densities)
+    run_max_excl = jnp.concatenate([jnp.zeros(1, jnp.float32), run_max_incl[:-1]])
+
+    # Peak is over at the first index with density < 60% of running max.
+    po_mask = densities < 0.6 * run_max_incl
+    po_exists = jnp.any(po_mask)
+    po_idx = jnp.argmax(po_mask)
+    peak = run_max_incl[po_idx]
+
+    # Dead: still rising (strictly above the pre-peak max) past x = 0.1
+    # while the peak is not over.
+    pre_po = jnp.where(po_exists, i < po_idx, True)
+    rising = densities > run_max_excl
+    dead = jnp.any(rising & x_gt_01 & pre_po)
+
+    # After the peak: running minimum seeded with densities[po_idx].
+    seeded = jnp.where(i >= po_idx, densities, inf)
+    cummin_incl = jax.lax.cummin(seeded)
+    m_prev = jnp.concatenate([jnp.full(1, inf), cummin_incl[:-1]])
+    after = i > po_idx
+
+    # Second peak (> 1.5x the minimum so far) stops the scan.
+    brk = after & (densities > 1.5 * m_prev)
+    brk_exists = jnp.any(brk)
+    brk_idx = jnp.argmax(brk)
+    in_range = after & jnp.where(brk_exists, i < brk_idx, True)
+
+    # New-minimum events; the threshold is the x of the last one, which is
+    # the first index attaining the final minimum (strict decreases).
+    new_min = in_range & (densities < m_prev)
+    range_min = jnp.min(jnp.where(in_range, densities, inf))
+    dam = jnp.minimum(densities[po_idx], range_min)
+    has_event = jnp.any(new_min)
+    thr_pos = jnp.argmax(new_min & (densities == dam))
+    thr = jnp.where(po_exists & has_event & (dam < pvr * peak), xs[thr_pos], -1.0)
+
+    found = (~dead) & (thr >= 0.0) & (thr <= 0.2 + pvr)
+    observed_pvr = dam / jnp.maximum(peak, 1e-30)
+    return thr, observed_pvr, found
+
+
 class _State(NamedTuple):
     "All cross-cluster control state, device-resident between dispatches."
 
@@ -186,6 +263,7 @@ def _make_emit_batch(
     minsuccesses: int,
     maxsteps: int,
     batch_clusters: int,
+    distance_dtype=jnp.float32,
 ):
     """Build the fused device program emitting up to `batch_clusters` clusters.
 
@@ -196,11 +274,19 @@ def _make_emit_batch(
     K = batch_clusters
     C = maxsteps
     pdf = jnp.asarray(_NORMALPDF)
+    # f32 sweeps use HIGHEST precision (bins are 0.005 wide); the opt-in
+    # bf16 path halves HBM traffic at ~1e-4 mean distance error.
+    _prec = (
+        jax.lax.Precision.HIGHEST
+        if distance_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
 
     def matvec(matrixT, idx):
         row = matrixT[:, idx]
         d = 0.5 - jnp.einsum(
-            "fn,f->n", matrixT, row, precision=jax.lax.Precision.HIGHEST
+            "fn,f->n", matrixT, row, precision=_prec,
+            preferred_element_type=jnp.float32,
         )
         return d.at[idx].set(0.0)
 
@@ -241,12 +327,16 @@ def _make_emit_batch(
                 -jnp.log(jax.random.uniform(k1, (N,)) + 1e-20) + 1e-20
             )
             score = jnp.where(elig, gumbel, -jnp.inf)
-            _, cand = jax.lax.top_k(score, C)
+            if _USE_APPROX_TOPK:
+                _, cand = jax.lax.approx_max_k(score, C)
+            else:
+                _, cand = jax.lax.top_k(score, C)
             cand_valid = elig[cand]
 
             rows = matrixT[:, cand]  # (F, C)
             D = 0.5 - jnp.einsum(
-                "fc,fn->cn", rows, matrixT, precision=jax.lax.Precision.HIGHEST
+                "fc,fn->cn", rows, matrixT, precision=_prec,
+                preferred_element_type=jnp.float32,
             )
             D = jnp.where(iota[None, :] == cand[:, None], 0.0, D)
             within = (D <= _MEDOID_RADIUS) & kept[None, :]
@@ -292,50 +382,7 @@ def _make_emit_batch(
         )
 
     def find_threshold(hist, pvr):
-        """Smoothed-histogram valley scan (reference cluster.py:483-543).
-
-        Returns (threshold, observed_pvr, found). threshold < 0 => none.
-        """
-        densities = jnp.convolve(hist, pdf, mode="same")
-        xs = jnp.arange(_NBINS, dtype=jnp.float32) * (_XMAX / _NBINS)
-
-        def step(carry, inp):
-            density, x = inp
-            pd, po, thr, dam, dead, broken = carry
-            act = ~(dead | broken)
-            # 1: first peak is the running max; dies if still rising past 0.1
-            c1 = act & ~po & (density > pd)
-            dead = dead | (c1 & (x > 0.1))
-            act = ~(dead | broken)
-            pd = jnp.where(act & c1, density, pd)
-            # 2: peak over when density < 60% of peak
-            c2 = act & ~po & (density < 0.6 * pd)
-            dam = jnp.where(c2, density, dam)
-            po = po | c2
-            # 3: second peak (density > 1.5x minimum) stops the scan
-            c3 = act & po & (density > 1.5 * dam)
-            broken = broken | c3
-            act = act & ~c3
-            # 4: track the minimum; accept as threshold if below pvr * peak
-            c4 = act & po & (density < dam)
-            dam = jnp.where(c4, density, dam)
-            thr = jnp.where(c4 & (density < pvr * pd), x, thr)
-            return (pd, po, thr, dam, dead, broken), None
-
-        init = (
-            jnp.float32(0.0),
-            jnp.bool_(False),
-            jnp.float32(-1.0),
-            jnp.float32(0.0),
-            jnp.bool_(False),
-            jnp.bool_(False),
-        )
-        (pd, _po, thr, dam, dead, _broken), _ = jax.lax.scan(
-            step, init, (densities, xs)
-        )
-        found = (~dead) & (thr >= 0.0) & (thr <= 0.2 + pvr)
-        observed_pvr = dam / jnp.maximum(pd, 1e-30)
-        return thr, observed_pvr, found
+        return _find_threshold_device(hist, pvr)
 
     def update_successes(state: _State, success):
         "Reference cluster.py:386-413, with a circular buffer for the deque."
@@ -502,6 +549,7 @@ class ClusterGenerator:
         rng_seed: int = 0,
         mesh=None,
         batch_clusters: int = _DEFAULT_BATCH,
+        distance_dtype: str = "float32",
     ):
         if matrix.dtype != np.float32:
             raise ValueError("Matrix must be of dtype float32")
@@ -544,11 +592,15 @@ class ClusterGenerator:
             )
             put_repl = lambda a: jax.device_put(a, NamedSharding(mesh, P()))  # noqa: E731
 
+        if distance_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"distance_dtype must be float32/bfloat16, not {distance_dtype}")
+        ddtype = jnp.bfloat16 if distance_dtype == "bfloat16" else jnp.float32
+
         self.n_points = n
         self.maxsteps = maxsteps
         self.minsuccesses = minsuccesses
         self.peak_valley_ratio = 0.1  # mirrors device state, for reporting
-        self.matrixT = put_cols(padded_t)
+        self.matrixT = put_cols(padded_t.astype(ddtype))
         self.lengths = put_rows(np.pad(lengths.astype(np.float32), (0, n_pad - n)))
         kept = np.zeros(n_pad, bool)
         kept[:n] = True
@@ -573,7 +625,8 @@ class ClusterGenerator:
             n_dists=jnp.float32(0),
         )
         self._emit_batch = _make_emit_batch(
-            n, windowsize, minsuccesses, min(maxsteps, n_pad), batch_clusters
+            n, windowsize, minsuccesses, min(maxsteps, n_pad), batch_clusters,
+            distance_dtype=ddtype,
         )
         self._pending: list[Cluster] = []
         self._emitted_total = 0
