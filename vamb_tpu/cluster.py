@@ -86,6 +86,12 @@ _DEFAULT_BATCH = 128  # clusters emitted per device dispatch
 # uses exact top_k (approx falls back to it anyway), keeping tests exact.
 _USE_APPROX_TOPK = True
 
+# 60-bin histogram strategy: "compare" broadcasts against the bin index
+# vector and reduces; "scatter" uses XLA scatter-add. Measured on v5e the
+# compare-reduce fuses into a single pass and wins; kept switchable for
+# A/B on other backends.
+_HIST_MODE = "compare"
+
 _KIND_NORMAL = 0
 _KIND_LONER = 1
 _KIND_FALLBACK = 2
@@ -295,12 +301,16 @@ def _make_emit_batch(
             jnp.where((d <= _MEDOID_RADIUS) & kept, lengths * (_MEDOID_RADIUS - d), 0.0)
         )
 
-    def next_seed(order, kept, start):
-        "First order position (cyclically from start) with a kept seed."
-        eligible = kept[order]
-        iota = jnp.arange(order.shape[0])
-        ahead = jnp.where(eligible & (iota >= start), iota, n_points)
-        wrapped = jnp.where(eligible, iota, n_points)
+    def next_seed(kept, start):
+        """First kept row (cyclically from start).
+
+        Rows are stored in descending-length order (the seed order), so the
+        seed scan is a masked min over the kept mask itself — no O(N)
+        gather through a permutation array.
+        """
+        iota = jnp.arange(kept.shape[0])
+        ahead = jnp.where(kept & (iota >= start), iota, kept.shape[0])
+        wrapped = jnp.where(kept, iota, kept.shape[0])
         return jnp.minimum(jnp.min(ahead), jnp.min(wrapped))
 
     def wander(matrixT, lengths, kept, seed, key, n_dists):
@@ -374,6 +384,8 @@ def _make_emit_batch(
         "Length-weighted 60-bin histogram of kept distances in [0, 0.3]."
         bins = jnp.clip((d / _DELTA_X).astype(jnp.int32), 0, _NBINS - 1)
         w = jnp.where((d >= 0.0) & (d <= _XMAX) & kept, lengths, 0.0)
+        if _HIST_MODE == "scatter":
+            return jnp.zeros(_NBINS, jnp.float32).at[bins].add(w)
         return jnp.sum(
             jnp.where(
                 bins[:, None] == jnp.arange(_NBINS)[None, :], w[:, None], 0.0
@@ -404,8 +416,8 @@ def _make_emit_batch(
             order_pos=jnp.where(bump, 0, state.order_pos),
         )
 
-    @partial(jax.jit, donate_argnums=(3,))
-    def emit_batch(matrixT, lengths, order, state: _State):
+    @partial(jax.jit, donate_argnums=(2,))
+    def emit_batch(matrixT, lengths, state: _State):
         N = matrixT.shape[1]
 
         def emit(state: _State, recs: _Records, sel, medoid, seed, kind, radius, opvr):
@@ -435,9 +447,8 @@ def _make_emit_batch(
         def attempt(carry):
             "One seed -> wander -> threshold -> (emit | reject) round."
             state, recs = carry
-            pos = next_seed(order, state.kept, state.order_pos)
-            seed = order[pos]
-            state = state._replace(order_pos=pos + 1)
+            seed = next_seed(state.kept, state.order_pos)
+            state = state._replace(order_pos=seed + 1)
 
             key, sub = jax.random.split(state.key)
             state = state._replace(key=key)
@@ -573,8 +584,12 @@ class ClusterGenerator:
         col_tile = _LANES * (mesh.devices.size if mesh is not None else 1)
         n_pad = _pad_to(n, col_tile)
         f_pad = _pad_to(f, _SUBLANES)
+        # Rows are stored in descending-length (seed) order so the on-device
+        # seed scan needs no gather; outputs are mapped back through
+        # `_order` on the host (reference seeds in this order, :275).
+        order = np.argsort(lengths.astype(np.float32), kind="stable")[::-1].copy()
         padded_t = np.zeros((f_pad, n_pad), np.float32)
-        padded_t[:f, :n] = matrix.T
+        padded_t[:f, :n] = matrix.T[:, order]
 
         if mesh is None:
             put_cols = jnp.asarray
@@ -601,13 +616,12 @@ class ClusterGenerator:
         self.minsuccesses = minsuccesses
         self.peak_valley_ratio = 0.1  # mirrors device state, for reporting
         self.matrixT = put_cols(padded_t.astype(ddtype))
-        self.lengths = put_rows(np.pad(lengths.astype(np.float32), (0, n_pad - n)))
+        self.lengths = put_rows(
+            np.pad(lengths.astype(np.float32)[order], (0, n_pad - n))
+        )
         kept = np.zeros(n_pad, bool)
         kept[:n] = True
-        # seed order: positions sorted by descending length (reference :275)
-        self.order = put_repl(
-            np.argsort(lengths.astype(np.float32), kind="stable")[::-1].copy()
-        )
+        self._order = order  # engine row -> original index
         self._state = _State(
             kept=put_rows(kept),
             labels=put_rows(np.full(n_pad, -1, np.int32)),
@@ -660,7 +674,7 @@ class ClusterGenerator:
     def _dispatch(self) -> None:
         "Run one device batch and decode its records into Cluster objects."
         self._state, recs = self._emit_batch(
-            self.matrixT, self.lengths, self.order, self._state
+            self.matrixT, self.lengths, self._state
         )
         n_emitted = int(recs.n_emitted)
         assert n_emitted > 0
@@ -684,12 +698,14 @@ class ClusterGenerator:
         succs = np.asarray(recs.successes)
         atts = np.asarray(recs.attempts)
         for i in range(n_emitted):
-            members = sorted_idx[bounds[i] : bounds[i + 1]].astype(np.int64)
+            members = self._order[
+                sorted_idx[bounds[i] : bounds[i + 1]]
+            ].astype(np.int64)
             kind = int(kinds[i])
             self._pending.append(
                 Cluster(
-                    int(medoids[i]),
-                    int(seeds[i]),
+                    int(self._order[medoids[i]]),
+                    int(self._order[seeds[i]]),
                     members,
                     float(pvrs[i]),
                     float(opvrs[i]) if kind == _KIND_NORMAL else None,
