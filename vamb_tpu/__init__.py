@@ -21,7 +21,9 @@ The public API mirrors the reference's CLI surface (`vamb_tpu bin default`,
 
 from . import utils  # noqa: F401
 from . import cluster  # noqa: F401
+from . import taxonomy  # noqa: F401
 from .abundance import Abundance  # noqa: F401
 from .composition import Composition, CompositionMetaData  # noqa: F401
+from .markers import Markers  # noqa: F401
 
 __version__ = "0.1.0"
