@@ -226,11 +226,11 @@ class AAE:
 
         from functools import partial as _partial
 
-        @_partial(jax.jit, static_argnames=("bs", "nb"), donate_argnums=(0,))
-        def epoch_fn(train_state, data, key, bs, nb):
+        @_partial(jax.jit, static_argnames=("bs", "nb", "n_obs"), donate_argnums=(0,))
+        def epoch_fn(train_state, data, key, bs, nb, n_obs=None):
             params, bn_state, opts = train_state
             depths, tnf = data
-            n = depths.shape[0]
+            n = depths.shape[0] if n_obs is None else n_obs
             perm_key, scan_key = jax.random.split(key)
             perm = jax.random.permutation(perm_key, n)[: nb * bs].reshape(nb, bs)
 
@@ -334,9 +334,9 @@ class AAE:
         )
         train_state = (self.params, self.bn_state, opts)
         if mesh is not None:
-            from ..parallel.mesh import replicate, shard_rows
+            from ..parallel.mesh import replicate, shard_rows_padded
 
-            data = tuple(shard_rows(np.asarray(a), mesh) for a in data)
+            data = tuple(shard_rows_padded(np.asarray(a), mesh) for a in data)
             train_state = replicate(train_state, mesh)
 
         for epoch in range(nepochs):
@@ -345,7 +345,9 @@ class AAE:
             actual_bs = min(bs, dataset.n_obs)
             self.rng, key = jax.random.split(self.rng)
             t0 = time.time()
-            train_state, m = epoch_fn(train_state, data, key, bs=actual_bs, nb=nb)
+            train_state, m = epoch_fn(
+                train_state, data, key, bs=actual_bs, nb=nb, n_obs=dataset.n_obs
+            )
             m = np.asarray(m)
             log(
                 "\t\tEpoch: {:>3} Loss Enc/Dec: {:.5e} Rec. loss: {:.5e} "

@@ -217,9 +217,9 @@ class Taxometer:
             jnp.asarray(np.asarray(targets, dtype=np.int32)),
         )
         if mesh is not None:
-            from ..parallel.mesh import replicate, shard_rows
+            from ..parallel.mesh import replicate, shard_rows_padded
 
-            data = tuple(shard_rows(np.asarray(a), mesh) for a in data)
+            data = tuple(shard_rows_padded(np.asarray(a), mesh) for a in data)
             train_state = replicate(
                 (self.params, self.bn_state, optimizer.init(self.params)), mesh
             )
@@ -233,7 +233,8 @@ class Taxometer:
             self.rng, key = jax.random.split(self.rng)
             t0 = time.time()
             train_state, metrics = epoch_fn(
-                train_state, data, key, batchsize=actual_bs, nbatches=nb
+                train_state, data, key, batchsize=actual_bs, nbatches=nb,
+                n_obs=dataset.n_obs,
             )
             log(
                 f"\tEpoch: {epoch + 1}\tCE: {float(metrics[0]):.7f}"

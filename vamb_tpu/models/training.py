@@ -26,10 +26,14 @@ def make_scan_epoch_fn(
     """
 
     @partial(
-        jax.jit, static_argnames=("batchsize", "nbatches"), donate_argnums=(0,)
+        jax.jit,
+        static_argnames=("batchsize", "nbatches", "n_obs"),
+        donate_argnums=(0,),
     )
-    def epoch_fn(train_state, data, key, batchsize, nbatches):
-        n = data[0].shape[0]
+    def epoch_fn(train_state, data, key, batchsize, nbatches, n_obs=None):
+        # n_obs: true row count; data may be zero-padded for even sharding,
+        # and the permutation must never address padding rows.
+        n = data[0].shape[0] if n_obs is None else n_obs
         perm_key, scan_key = jax.random.split(key)
         perm = jax.random.permutation(perm_key, n)
         idx = perm[: nbatches * batchsize].reshape(nbatches, batchsize)

@@ -234,10 +234,17 @@ class VAE:
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-        @partial(jax.jit, static_argnames=("batchsize", "nbatches"), donate_argnums=(0, 1, 2))
-        def epoch_fn(params, bn_state, opt_state, data, key, batchsize, nbatches):
+        @partial(
+            jax.jit,
+            static_argnames=("batchsize", "nbatches", "n_obs"),
+            donate_argnums=(0, 1, 2),
+        )
+        def epoch_fn(
+            params, bn_state, opt_state, data, key, batchsize, nbatches, n_obs=None
+        ):
             depths, tnf, ab, weights = data
-            n = depths.shape[0]
+            # data may be zero-padded for even sharding; never gather padding
+            n = depths.shape[0] if n_obs is None else n_obs
             perm_key, scan_key = jax.random.split(key)
             perm = jax.random.permutation(perm_key, n)
             idx = perm[: nbatches * batchsize].reshape(nbatches, batchsize)
@@ -324,9 +331,9 @@ class VAE:
         if mesh is None:
             data = tuple(jnp.asarray(a) for a in dataset)
         else:
-            from ..parallel.mesh import replicate, shard_rows
+            from ..parallel.mesh import replicate, shard_rows_padded
 
-            data = tuple(shard_rows(np.asarray(a), mesh) for a in dataset)
+            data = tuple(shard_rows_padded(np.asarray(a), mesh) for a in dataset)
             params = replicate(params, mesh)
             bn_state = replicate(bn_state, mesh)
             opt_state = replicate(opt_state, mesh)
@@ -339,7 +346,7 @@ class VAE:
             t0 = time.time()
             params, bn_state, opt_state, comps = epoch_fn(
                 params, bn_state, opt_state, data, key,
-                batchsize=actual_bs, nbatches=nb,
+                batchsize=actual_bs, nbatches=nb, n_obs=dataset.n_obs,
             )
             comps = np.asarray(comps)
             log(

@@ -385,12 +385,12 @@ class VAEVAE:
         from functools import partial as _partial
 
         @_partial(
-            jax.jit, static_argnames=("bs", "nb"), donate_argnums=(0,)
+            jax.jit, static_argnames=("bs", "nb", "n_obs"), donate_argnums=(0,)
         )
-        def epoch_fn(train_state, data, key, bs, nb):
+        def epoch_fn(train_state, data, key, bs, nb, n_obs=None):
             params, bn_state, opt_state = train_state
             depths, tnf, ab, weights, targets_i = data
-            n = depths.shape[0]
+            n = depths.shape[0] if n_obs is None else n_obs
             k_sup, k_unsup, scan_key = jax.random.split(key, 3)
             perm_sup = jax.random.permutation(k_sup, n)[: nb * bs].reshape(nb, bs)
             perm_uns = jax.random.permutation(k_unsup, n)[: nb * bs].reshape(nb, bs)
@@ -435,9 +435,9 @@ class VAEVAE:
         opt_state = optimizer.init(self.params)
         train_state = (self.params, self.bn_state, opt_state)
         if mesh is not None:
-            from ..parallel.mesh import replicate, shard_rows
+            from ..parallel.mesh import replicate, shard_rows_padded
 
-            data = tuple(shard_rows(np.asarray(a), mesh) for a in data)
+            data = tuple(shard_rows_padded(np.asarray(a), mesh) for a in data)
             train_state = replicate(train_state, mesh)
 
         names = [
@@ -451,7 +451,7 @@ class VAEVAE:
             self.rng, key = jax.random.split(self.rng)
             t0 = time.time()
             train_state, metrics = epoch_fn(
-                train_state, data, key, bs=actual_bs, nb=nb
+                train_state, data, key, bs=actual_bs, nb=nb, n_obs=dataset.n_obs
             )
             m = np.asarray(metrics)
             log(

@@ -45,6 +45,22 @@ def shard_rows(array, mesh: Mesh, axis: str = DATA_AXIS):
     return jax.device_put(array, NamedSharding(mesh, spec))
 
 
+def shard_rows_padded(array, mesh: Mesh, axis: str = DATA_AXIS):
+    """Row-shard, zero-padding the leading dim to a multiple of the mesh.
+
+    Callers that gather rows by index must draw indices < the original
+    length so the padding rows are never touched.
+    """
+    array = np.asarray(array)
+    size = mesh.devices.size
+    pad = (-array.shape[0]) % size
+    if pad:
+        array = np.concatenate(
+            [array, np.zeros((pad, *array.shape[1:]), array.dtype)]
+        )
+    return shard_rows(array, mesh, axis)
+
+
 def replicate(tree: Any, mesh: Mesh):
     "Replicate every leaf of a pytree across the mesh."
     sharding = NamedSharding(mesh, P())

@@ -26,6 +26,24 @@ from .utils import BinSplitter, Reader, write_bins, write_npz
 MINIMUM_SEQS = 100
 
 
+def default_mesh():
+    """1-D mesh over all local devices, or None on a single device.
+
+    The reference is single-device; here every training loop and the
+    clustering engine automatically data-parallelize over whatever chips
+    the host has (SURVEY §2.3: the TPU build's addition).
+    """
+    import jax
+
+    if len(jax.devices()) <= 1:
+        return None
+    from .parallel import make_mesh
+
+    mesh = make_mesh()
+    logger.info(f"\tUsing {mesh.devices.size}-device mesh for device compute")
+    return mesh
+
+
 # ------------------------------------------------------------------ options
 
 
@@ -270,6 +288,7 @@ def trainvae(
         batchsteps=vae_options.batchsteps,
         modelfile=general.outdir.joinpath("model.npz"),
         logger=logger.info,
+        mesh=default_mesh(),
     )
     logger.info("\tEncoding to latent representation")
     latent = vae.encode(dataset)
@@ -312,6 +331,7 @@ def cluster_and_write_files(
         destroy=True,
         normalized=False,
         rng_seed=seed,
+        mesh=default_mesh(),
     )
     clusters = itertools.islice(generator, cluster_options.max_clusters)
 
@@ -573,6 +593,7 @@ def predict_taxonomy(
         batchsteps=options.batchsteps,
         modelfile=out_dir.joinpath("predictor_model.npz"),
         logger=logger.info,
+        mesh=default_mesh(),
     )
 
     logger.info("Writing the taxonomy predictions")
@@ -705,6 +726,7 @@ def run_vaevae(opt: BinTaxVambOptions) -> None:
         batchsteps=opt.vae.batchsteps,
         modelfile=opt.general.outdir.joinpath("vaevae_model.npz"),
         logger=logger.info,
+        mesh=default_mesh(),
     )
 
     latent = vae.encode_joint(dataset, targets)
@@ -847,6 +869,7 @@ def run_bin_aae(opt: BinAvambOptions) -> None:
         temperature=opt.aae.temp,
         modelfile=opt.general.outdir.joinpath("aae_model.npz"),
         logger=logger.info,
+        mesh=default_mesh(),
     )
     logger.info("\tEncoding to latent representation")
     clusters_y_dict, latent_z = aae.get_latents(
