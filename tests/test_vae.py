@@ -166,3 +166,31 @@ class TestVAE:
         finally:
             vae_mod._ENCODE_CHUNK = old
         np.testing.assert_array_equal(full, chunked)
+
+
+def test_checkpoint_every(tmp_path):
+    "Mid-training checkpoints are written and loadable."
+    abundance, tnf, lengths = make_raw(n=100, s=2)
+    ds = make_dataset(abundance, tnf, lengths)
+    vae = VAE(nsamples=2, nhiddens=[16], nlatent=4, seed=0)
+    path = tmp_path / "model.npz"
+    seen = []
+
+    orig_save = VAE.save
+
+    def spy(self, io):
+        seen.append(1)
+        return orig_save(self, io)
+
+    VAE.save = spy
+    try:
+        vae.trainmodel(
+            ds, nepochs=5, batchsize=32, batchsteps=None,
+            modelfile=path, checkpoint_every=2,
+        )
+    finally:
+        VAE.save = orig_save
+    # checkpoints after epochs 2 and 4, plus the final save
+    assert len(seen) == 3
+    loaded = VAE.load(path)
+    np.testing.assert_array_equal(loaded.encode(ds), vae.encode(ds))

@@ -279,8 +279,15 @@ class VAE:
         modelfile: Union[None, str, Path, IO[bytes]] = None,
         logger: Optional[Callable[[str], None]] = None,
         mesh=None,
+        checkpoint_every: Optional[int] = None,
     ) -> None:
         """Train in place. Mirrors reference trainmodel (encode.py:543-610).
+
+        With `checkpoint_every=k` and a path-like `modelfile`, the model is
+        additionally checkpointed every k epochs (the reference only saves
+        at the end, inside a bare try/except — encode.py:603-608), so an
+        interrupted long run can be resumed from the latest snapshot via
+        `VAE.load`.
 
         With `mesh` (a 1-D `jax.sharding.Mesh`), training is data-parallel:
         the dataset is row-sharded over the mesh, parameters replicated, and
@@ -356,6 +363,20 @@ class VAE:
                     actual_bs, time.time() - t0,
                 )
             )
+            if (
+                checkpoint_every is not None
+                and modelfile is not None
+                and isinstance(modelfile, (str, Path))
+                and (epoch + 1) % checkpoint_every == 0
+                and epoch + 1 < nepochs
+            ):
+                snapshot_params, snapshot_bn = self.params, self.bn_state
+                self.params = jax.tree.map(np.asarray, params)
+                self.bn_state = jax.tree.map(np.asarray, bn_state)
+                try:
+                    self.save(modelfile)
+                finally:
+                    self.params, self.bn_state = snapshot_params, snapshot_bn
 
         self.params = jax.tree.map(np.asarray, params)
         self.bn_state = jax.tree.map(np.asarray, bn_state)
