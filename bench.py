@@ -22,6 +22,20 @@ import time
 
 import numpy as np
 
+
+def _enable_compile_cache() -> None:
+    "Persist compiled programs across processes (compiles cost minutes here)."
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/vamb_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 BASELINE_DISTS_PER_S = 1.0e10  # see module docstring
 N = 1_000_000
 D = 32
