@@ -1,0 +1,354 @@
+"""Sequential parity oracle for the clustering engine.
+
+This is a slow, host-side transcription of the reference's per-cluster
+control flow (/root/reference/vamb/cluster.py:122-676) used ONLY by the
+parity test suite. It exists to prove that the fused device program in
+`vamb_tpu/cluster.py` implements the same decision rules:
+
+* seed cycling in descending-length order with skip-used semantics and
+  reset-on-pvr-bump (ref cluster.py:342-384, 411-413),
+* medoid wandering as a first-improvement hill climb on length-weighted
+  local density with tried-marking (ref :415-450),
+* the sequential histogram smoothing + peak/valley scan state machine
+  (ref :452-543),
+* the success deque / peak-valley-ratio feedback (ref :386-413),
+* loner / normal / fallback emission with the exact member selection and
+  record fields (ref :545-604).
+
+Control flow here is transcribed from the reference, written sequentially
+in plain Python. Numeric kernels are a *shared contract* with the engine,
+replayed eagerly with the exact same jax expressions so both sides see
+bit-identical numbers:
+
+* candidate sampling replays the engine's RNG stream (split -> uniform ->
+  Gumbel -> top_k). The reference samples with Python's Mersenne
+  `rng.sample` — the same distribution (uniform without replacement), a
+  different stream. Consuming the engine's stream lets every decision be
+  compared one-for-one.
+* distances come from the same einsum calls (HIGHEST precision), including
+  the engine's batched (C,F)x(F,N) wander matmul, whose rows are reused as
+  the next medoid's distance vector.
+* the histogram uses the same clip(int(d/dx)) binning and the smoothing
+  the same 31-tap convolution.
+
+The oracle works in "engine coordinates": rows sorted by stable descending
+length and zero-padded, mapped back to original indices on emission.
+"""
+
+from collections import deque
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vamb_tpu.cluster import (
+    _DEFAULT_RADIUS,
+    _DELTA_X,
+    _LANES,
+    _MEDOID_RADIUS,
+    _NBINS,
+    _NORMALPDF,
+    _SUBLANES,
+    _USE_APPROX_TOPK,
+    _X_GRID,
+    _XMAX,
+    _pad_to,
+    normalize,
+)
+
+
+@dataclass
+class OracleRecord:
+    "One emitted cluster, in original row indices."
+
+    medoid: int
+    seed: int
+    members: np.ndarray  # sorted original indices
+    kind: str  # "normal" | "loner" | "fallback"
+    radius: Optional[float]
+    observed_pvr: Optional[float]
+    pvr: float
+    successes: int
+    attempts: int
+
+
+# --------------------------------------------------- shared numeric kernels
+# These jitted helpers mirror the engine's device expressions verbatim; the
+# oracle calls them step by step from its sequential control flow.
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+@jax.jit
+def _k_matvec(mT, idx):
+    row = mT[:, idx]
+    d = 0.5 - jnp.einsum(
+        "fn,f->n", mT, row, precision=_PREC, preferred_element_type=jnp.float32
+    )
+    return d.at[idx].set(0.0)
+
+
+@jax.jit
+def _k_density(d, lengths, kept):
+    return jnp.sum(
+        jnp.where((d <= _MEDOID_RADIUS) & kept, lengths * (_MEDOID_RADIUS - d), 0.0)
+    )
+
+
+@partial(jax.jit, static_argnames=("C",))
+def _k_candidates(key, d, kept, tried, medoid, C):
+    "Engine wander-body sampling: Gumbel top-k over eligible points."
+    N = d.shape[0]
+    iota = jnp.arange(N)
+    key, k1 = jax.random.split(key)
+    elig = (d <= _MEDOID_RADIUS) & kept & ~tried & (iota != medoid)
+    gumbel = -jnp.log(-jnp.log(jax.random.uniform(k1, (N,)) + 1e-20) + 1e-20)
+    score = jnp.where(elig, gumbel, -jnp.inf)
+    if _USE_APPROX_TOPK:
+        _, cand = jax.lax.approx_max_k(score, C)
+    else:
+        _, cand = jax.lax.top_k(score, C)
+    return key, cand, elig[cand]
+
+
+@jax.jit
+def _k_batched_wander(mT, lengths, kept, cand):
+    "Engine wander-body distance+density matmul for all C candidates."
+    iota = jnp.arange(mT.shape[1])
+    rows = mT[:, cand]
+    D = 0.5 - jnp.einsum(
+        "fc,fn->cn", rows, mT, precision=_PREC, preferred_element_type=jnp.float32
+    )
+    D = jnp.where(iota[None, :] == cand[:, None], 0.0, D)
+    within = (D <= _MEDOID_RADIUS) & kept[None, :]
+    dens = jnp.sum(
+        jnp.where(within, lengths[None, :] * (_MEDOID_RADIUS - D), 0.0), axis=1
+    )
+    return D, dens
+
+
+@jax.jit
+def _k_histogram(d, lengths, kept):
+    bins = jnp.clip((d / _DELTA_X).astype(jnp.int32), 0, _NBINS - 1)
+    w = jnp.where((d >= 0.0) & (d <= _XMAX) & kept, lengths, 0.0)
+    return jnp.sum(
+        jnp.where(bins[:, None] == jnp.arange(_NBINS)[None, :], w[:, None], 0.0),
+        axis=0,
+    )
+
+
+@jax.jit
+def _k_smooth(hist):
+    return jnp.convolve(hist, jnp.asarray(_NORMALPDF), mode="same")
+
+
+# ------------------------------------------------------- sequential oracle
+
+
+def find_threshold_sequential(densities: np.ndarray, pvr: float):
+    """The reference's valley-scan state machine, transcribed step by step
+    (ref cluster.py:483-543). Input is the smoothed 60-bin density vector.
+
+    Returns (threshold, observed_pvr) or None.
+    """
+    peak_density = 0.0
+    peak_over = False
+    minimum_x = 0.0
+    threshold = None
+    density_at_minimum = 0.0
+    x = 0.0
+    delta_x = _XMAX / _NBINS
+    for density in densities:
+        density = float(density)
+        if not peak_over and density > peak_density:
+            if x > 0.1:
+                return None
+            peak_density = density
+        if not peak_over and density < 0.6 * peak_density:
+            peak_over = True
+            density_at_minimum = density
+        if peak_over and density > 1.5 * density_at_minimum:
+            break
+        if peak_over and density < density_at_minimum:
+            minimum_x, density_at_minimum = x, density
+            if density < pvr * peak_density:
+                threshold = minimum_x
+        x += delta_x
+    if threshold is None or threshold > 0.2 + pvr:
+        return None
+    return (threshold, density_at_minimum / peak_density)
+
+
+class SequentialOracle:
+    """Reference-transcribed clustering loop driven by the engine's RNG."""
+
+    def __init__(
+        self,
+        matrix: np.ndarray,
+        lengths: np.ndarray,
+        maxsteps: int = 25,
+        windowsize: int = 300,
+        minsuccesses: int = 15,
+        rng_seed: int = 0,
+    ):
+        matrix = normalize(matrix.copy())
+        n, f = matrix.shape
+        n_pad = _pad_to(n, _LANES)
+        f_pad = _pad_to(f, _SUBLANES)
+        order = np.argsort(lengths.astype(np.float32), kind="stable")[::-1].copy()
+        padded_t = np.zeros((f_pad, n_pad), np.float32)
+        padded_t[:f, :n] = matrix.T[:, order]
+
+        self.n = n
+        self.n_pad = n_pad
+        self.C = min(maxsteps, n_pad)
+        self.windowsize = windowsize
+        self.minsuccesses = minsuccesses
+        self.order = order
+        self.mT = jnp.asarray(padded_t)
+        self.lengths = jnp.asarray(
+            np.pad(lengths.astype(np.float32)[order], (0, n_pad - n))
+        )
+        kept = np.zeros(n_pad, bool)
+        kept[:n] = True
+        self.kept = kept
+        # pvr accumulates in f32 exactly like the engine's device scalar
+        self.pvr = np.float32(0.1)
+        self.attempts: deque = deque(maxlen=windowsize)
+        self.successes = 0
+        self.order_pos = 0
+        self.key = jax.random.PRNGKey(rng_seed)
+        self.n_remaining = n
+
+    # -- reference control flow, one rule per method ----------------------
+
+    def next_seed(self) -> int:
+        "First surviving row cyclically from order_pos (ref :342-384)."
+        kept_idx = np.flatnonzero(self.kept)
+        ahead = kept_idx[kept_idx >= self.order_pos]
+        seed = int(ahead[0]) if len(ahead) else int(kept_idx[0])
+        self.order_pos = seed + 1
+        return seed
+
+    def update_successes(self, success: bool) -> None:
+        "The success deque + pvr bump (ref :386-413)."
+        if len(self.attempts) == self.attempts.maxlen:
+            self.successes -= self.attempts.popleft()
+        self.successes += success
+        self.attempts.append(success)
+        if (
+            len(self.attempts) == self.attempts.maxlen
+            and self.successes < self.minsuccesses
+        ):
+            self.pvr = np.float32(self.pvr + np.float32(0.1))
+            self.attempts.clear()
+            self.successes = 0
+            self.order_pos = 0
+
+    def wander(self, seed: int, sub_key):
+        """First-improvement hill climb (ref :415-450), consuming the
+        engine's per-step Gumbel candidate stream."""
+        kept_j = jnp.asarray(self.kept)
+        d = _k_matvec(self.mT, seed)
+        density = float(_k_density(d, self.lengths, kept_j))
+        tried = np.zeros(self.n_pad, bool)
+        tried[seed] = True
+        medoid = seed
+        key = sub_key
+
+        d_np = np.asarray(d)
+        # initial eligibility check (engine init cond; ref: empty candidates)
+        if not np.any(self.kept & (d_np <= _MEDOID_RADIUS) & ~tried):
+            return medoid, d_np
+
+        while True:
+            key, cand, cand_valid = _k_candidates(
+                key, d, kept_j, jnp.asarray(tried), medoid, self.C
+            )
+            cand = np.asarray(cand)
+            cand_valid = np.asarray(cand_valid)
+            D, dens = _k_batched_wander(self.mT, self.lengths, kept_j, cand)
+            dens = np.asarray(dens)
+
+            # walk candidates in sampled order; jump at first improvement
+            jumped = False
+            for j in range(self.C):
+                if not cand_valid[j]:
+                    continue
+                tried[cand[j]] = True
+                if dens[j] > density:
+                    medoid = int(cand[j])
+                    d = D[j]
+                    d_np = np.asarray(d)
+                    density = float(dens[j])
+                    jumped = True
+                    break
+            if not jumped:
+                return medoid, d_np
+            if not np.any(
+                self.kept & (d_np <= _MEDOID_RADIUS) & ~tried
+                & (np.arange(self.n_pad) != medoid)
+            ):
+                return medoid, d_np
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> OracleRecord:
+        if self.n_remaining == 0:
+            raise StopIteration
+        while True:
+            seed = self.next_seed()
+            self.key, sub = jax.random.split(self.key)
+            medoid, d = self.wander(seed, sub)
+
+            kept_j = jnp.asarray(self.kept)
+            n_close = int(np.sum((d < _MEDOID_RADIUS) & self.kept))
+            hist = _k_histogram(jnp.asarray(d), self.lengths, kept_j)
+            densities = np.asarray(_k_smooth(hist))
+            result = find_threshold_sequential(densities, float(self.pvr))
+
+            if n_close == 1:  # loner (ref :457, :550-562)
+                members_rows = np.array([medoid])
+                rec = self._emit(medoid, seed, members_rows, "loner", None, None)
+                return rec
+            if result is None:
+                if self.pvr > 0.55:  # fallback (ref :566-580)
+                    members_rows = np.flatnonzero(
+                        (d <= np.float32(_DEFAULT_RADIUS)) & self.kept
+                    )
+                    return self._emit(
+                        medoid, seed, members_rows, "fallback",
+                        float(_DEFAULT_RADIUS), None,
+                    )
+                self.update_successes(False)  # reject (ref :582)
+                continue
+            threshold, observed_pvr = result
+            thr32 = np.float32(threshold)
+            members_rows = np.flatnonzero((d <= thr32) & self.kept)
+            rec = self._emit(
+                medoid, seed, members_rows, "normal", float(thr32), observed_pvr
+            )
+            if self.pvr < 0.55:  # ref :599-600
+                self.update_successes(True)
+            return rec
+
+    def _emit(self, medoid, seed, members_rows, kind, radius, observed_pvr):
+        "Record with pre-update successes/attempts (ref :551-598)."
+        rec = OracleRecord(
+            medoid=int(self.order[medoid]),
+            seed=int(self.order[seed]),
+            members=np.sort(self.order[members_rows]),
+            kind=kind,
+            radius=radius,
+            observed_pvr=observed_pvr,
+            pvr=float(self.pvr),
+            successes=self.successes,
+            attempts=len(self.attempts),
+        )
+        self.kept[members_rows] = False
+        self.n_remaining -= len(members_rows)
+        return rec
