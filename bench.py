@@ -1,19 +1,29 @@
-"""Benchmark: clustering throughput (pairwise distances/s) at 1M contigs.
+"""Benchmark: both BASELINE metrics on the attached accelerator.
 
-Runs the medoid-clustering engine on synthetic 1M x 32 latents for a fixed
-number of emitted clusters on the attached accelerator, and reports the rate
-of medoid-to-point distance evaluations — the quantity BASELINE.md names as
-the clustering throughput metric.
+1. **VAE training throughput** (contigs/s/chip): steady-state epochs of the
+   flagship VAE on a synthetic 100k x 10-sample dataset (the BASELINE.md
+   "VAE train contigs/s/chip" metric), timed at the default schedule's
+   terminal batch size (4096 — reference batchsteps [25,75,150,225] double
+   256 -> 4096, where most of a 300-epoch run is spent).
+2. **Clustering throughput** at 1M contigs: the fused medoid-clustering
+   engine, reporting raw distance evaluations/s, *effective* (reference-
+   equivalent) distances/s, clusters/s, and wall time per 150 clusters.
+   "Effective" counts only the distance work the reference's sequential
+   candidate sampler would have performed (one matvec per seed + one per
+   candidate visited before the first improvement, vamb/cluster.py:606-637)
+   — the engine's batched wander matmuls evaluate all 25 candidates at
+   once, so the raw count is not cross-comparable with the reference.
 
-Baseline constant: the reference's GPU clustering computes one (N x D) f32
-matvec per wander candidate with a 64-entry result cache
-(reference vamb/cluster.py:606-637). On an A100-class GPU this is
-HBM-bandwidth-bound: reading 1M x 32 floats (128 MB) per candidate at
-~1.5 TB/s gives ~1.2e10 pairwise dists/s in the ideal case; we use 1e10 as
-the single-GPU reference baseline (BASELINE.md asks for >= 5x it on a
-v5e-16 pod; this bench measures a single chip).
+Baseline constants (labeled in the JSON as self-derived: the reference repo
+publishes no hardware-normalized numbers, BASELINE.json "published" is {}):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* clustering: the reference's GPU mode computes one (N x D) f32 matvec per
+  candidate with a 64-entry cache; on an A100-class GPU that is
+  HBM-bandwidth-bound at ~1.2e10 dists/s ideal; we use 1e10.
+* VAE: no reference throughput exists; vs_baseline is null.
+
+Prints ONE JSON line: the headline clustering metric with every other
+measurement under "extra_metrics".
 """
 
 import json
@@ -36,14 +46,82 @@ def _enable_compile_cache() -> None:
 
 _enable_compile_cache()
 
-BASELINE_DISTS_PER_S = 1.0e10  # see module docstring
+BASELINE_DISTS_PER_S = 1.0e10  # self-derived, see module docstring
+
 N = 1_000_000
 D = 32
 N_CLUSTERS = 150
 WARMUP_CLUSTERS = 10
 
+VAE_N = 100_000
+VAE_SAMPLES = 10
+VAE_BATCH = 4096
+VAE_WARM_EPOCHS = 2
+VAE_TIMED_EPOCHS = 8
 
-def main() -> None:
+
+def bench_vae() -> dict:
+    "Steady-state VAE training epochs; returns metric dict."
+    import jax
+    import jax.numpy as jnp
+
+    from vamb_tpu.models.dataset import make_dataset, num_batches
+    from vamb_tpu.models.vae import VAE
+    from vamb_tpu.optim import dadapt_adam
+
+    rng = np.random.default_rng(1)
+    abundance = rng.exponential(2.0, size=(VAE_N, VAE_SAMPLES)).astype(np.float32)
+    tnf = rng.normal(size=(VAE_N, 103)).astype(np.float32)
+    lengths = rng.integers(2000, 100_000, VAE_N)
+    dataset = make_dataset(abundance, tnf, lengths, destroy=True)
+
+    vae = VAE(nsamples=VAE_SAMPLES, seed=1)
+    optimizer = dadapt_adam()
+    opt_state = optimizer.init(vae.params)
+    epoch_fn = vae._make_epoch_fn(optimizer)
+    params, bn_state = vae.params, vae.bn_state
+    data = tuple(jnp.asarray(a) for a in dataset)
+    nb = num_batches(VAE_N, VAE_BATCH)
+    key = jax.random.key(0)
+
+    def one_epoch(params, bn_state, opt_state, key):
+        key, sub = jax.random.split(key)
+        params, bn_state, opt_state, comps = epoch_fn(
+            params, bn_state, opt_state, data, sub,
+            batchsize=VAE_BATCH, nbatches=nb,
+        )
+        return params, bn_state, opt_state, key, comps
+
+    # sync by fetching the tiny metrics vector: on the tunneled TPU
+    # platform block_until_ready does not reliably block
+    for _ in range(VAE_WARM_EPOCHS):
+        params, bn_state, opt_state, key, comps = one_epoch(
+            params, bn_state, opt_state, key
+        )
+    np.asarray(comps)
+    t0 = time.time()
+    for _ in range(VAE_TIMED_EPOCHS):
+        params, bn_state, opt_state, key, comps = one_epoch(
+            params, bn_state, opt_state, key
+        )
+    np.asarray(comps)
+    elapsed = time.time() - t0
+
+    contigs_per_s = VAE_N * VAE_TIMED_EPOCHS / elapsed
+    print(
+        f"[bench] VAE: {VAE_TIMED_EPOCHS} epochs x {VAE_N} contigs "
+        f"(S={VAE_SAMPLES}, batch {VAE_BATCH}) in {elapsed:.2f}s "
+        f"-> {contigs_per_s:.3g} contigs/s/chip",
+        file=sys.stderr,
+    )
+    return {
+        "vae_train_contigs_per_s_chip": contigs_per_s,
+        "vae_epoch_seconds_100k": elapsed / VAE_TIMED_EPOCHS,
+    }
+
+
+def bench_clustering() -> tuple[float, dict]:
+    "1M-contig clustering; returns (raw dists/s, extra metric dict)."
     import vamb_tpu.cluster as vc
 
     rng = np.random.default_rng(0)
@@ -61,6 +139,7 @@ def main() -> None:
     for _ in range(WARMUP_CLUSTERS):
         next(it)
     dists_start = gen.n_dists
+    eff_start = gen.n_dists_effective
     t0 = time.time()
     emitted = 0
     for _ in range(N_CLUSTERS):
@@ -71,14 +150,37 @@ def main() -> None:
         emitted += 1
     elapsed = time.time() - t0
     n_dists = gen.n_dists - dists_start
+    n_eff = gen.n_dists_effective - eff_start
 
     rate = n_dists / elapsed
-    dists = {"n": n_dists}
+    eff_rate = n_eff / elapsed
     print(
-        f"[bench] {emitted} clusters in {elapsed:.2f}s, "
-        f"{dists['n']:.3g} dists, {rate:.3g} dists/s",
+        f"[bench] clustering: {emitted} clusters in {elapsed:.2f}s at 1M x {D} "
+        f"-> {rate:.3g} raw dists/s, {eff_rate:.3g} effective dists/s, "
+        f"{emitted / elapsed:.1f} clusters/s",
         file=sys.stderr,
     )
+    return rate, {
+        "cluster_raw_dists_per_s_1M": rate,
+        "cluster_effective_dists_per_s_1M": eff_rate,
+        "cluster_clusters_per_s_1M": emitted / elapsed,
+        "cluster_wall_s_150_clusters_1M": elapsed,
+    }
+
+
+def main() -> None:
+    vae_metrics = bench_vae()
+    rate, cluster_metrics = bench_clustering()
+
+    extra = {**cluster_metrics, **vae_metrics}
+    extra["baselines"] = {
+        "cluster_dists_per_s": {
+            "value": BASELINE_DISTS_PER_S,
+            "note": "self-derived A100 HBM bound for the reference GPU "
+            "per-candidate matvec loop; reference publishes no number",
+        },
+        "vae_train_contigs_per_s_chip": None,
+    }
     print(
         json.dumps(
             {
@@ -86,6 +188,7 @@ def main() -> None:
                 "value": rate,
                 "unit": "dists/s",
                 "vs_baseline": rate / BASELINE_DISTS_PER_S,
+                "extra_metrics": extra,
             }
         )
     )

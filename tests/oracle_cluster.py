@@ -193,10 +193,13 @@ class SequentialOracle:
         windowsize: int = 300,
         minsuccesses: int = 15,
         rng_seed: int = 0,
+        pad_multiple: int = _LANES,
     ):
+        # pad_multiple must match the engine's column tile (128 * mesh size)
+        # because the Gumbel draws span the padded width
         matrix = normalize(matrix.copy())
         n, f = matrix.shape
-        n_pad = _pad_to(n, _LANES)
+        n_pad = _pad_to(n, pad_multiple)
         f_pad = _pad_to(f, _SUBLANES)
         order = np.argsort(lengths.astype(np.float32), kind="stable")[::-1].copy()
         padded_t = np.zeros((f_pad, n_pad), np.float32)
@@ -260,11 +263,16 @@ class SequentialOracle:
         key = sub_key
 
         d_np = np.asarray(d)
-        # initial eligibility check (engine init cond; ref: empty candidates)
+        # initial eligibility check consumes no RNG (engine init cond;
+        # ref: empty candidates -> while loop never entered)
         if not np.any(self.kept & (d_np <= _MEDOID_RADIUS) & ~tried):
             return medoid, d_np
 
         while True:
+            # one Gumbel draw per loop iteration, ALWAYS — after a jump the
+            # engine's while-loop body re-runs and draws even when no
+            # eligible candidate remains (cand_valid all false), so the
+            # oracle must consume the same split
             key, cand, cand_valid = _k_candidates(
                 key, d, kept_j, jnp.asarray(tried), medoid, self.C
             )
@@ -287,11 +295,6 @@ class SequentialOracle:
                     jumped = True
                     break
             if not jumped:
-                return medoid, d_np
-            if not np.any(
-                self.kept & (d_np <= _MEDOID_RADIUS) & ~tried
-                & (np.arange(self.n_pad) != medoid)
-            ):
                 return medoid, d_np
 
     def __iter__(self):

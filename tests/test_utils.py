@@ -232,8 +232,9 @@ class TestBinSplitter(unittest.TestCase):
         splitter = BinSplitter("-")
         splitter.initialize(["s1-c1", "s2-c1"])
         out = dict(splitter.binsplit([("bin1", ["s1-c1", "s1-c5", "s2-c1"])]))
+        # deterministic: sample groups and members in first-seen order
         self.assertEqual(
-            out, {"s1-bin1": {"s1-c1", "s1-c5"}, "s2-bin1": {"s2-c1"}}
+            out, {"s1-bin1": ["s1-c1", "s1-c5"], "s2-bin1": ["s2-c1"]}
         )
 
     def test_default_disables_on_bad_ids(self):
@@ -250,7 +251,7 @@ class TestBinSplitter(unittest.TestCase):
         splitter = BinSplitter.inert_splitter()
         self.assertTrue(splitter.is_disabled())
         out = dict(splitter.binsplit([("bin1", ["a", "b"])]))
-        self.assertEqual(out, {"bin1": {"a", "b"}})
+        self.assertEqual(out, {"bin1": ["a", "b"]})
 
 
 if __name__ == "__main__":

@@ -246,7 +246,14 @@ class _State(NamedTuple):
     n_remaining: jax.Array  # i32
     next_cid: jax.Array  # i32: next cluster id to assign
     key: jax.Array  # PRNG key
-    n_dists: jax.Array  # i64-ish f64 counter of distance evaluations
+    n_dists: jax.Array  # f32 counter of raw distance evaluations
+    # reference-equivalent distance work: what the reference's sequential
+    # sampler would have computed — one matvec per seed plus one per
+    # candidate actually visited before the first improvement (ref
+    # cluster.py:606-637 evaluates candidates one at a time and stops on
+    # the first jump; the engine's batched matmul evaluates all C at once,
+    # so raw n_dists overstates cross-comparable work)
+    n_dists_eff: jax.Array
 
 
 class _Records(NamedTuple):
@@ -302,19 +309,22 @@ def _make_emit_batch(
         )
 
     def next_seed(kept, start):
-        """First kept row (cyclically from start).
+        """First kept row at or after `start`; wrap to the first kept row
+        overall only when none remains ahead (reference get_next_seed
+        cycling semantics, cluster.py:342-384).
 
         Rows are stored in descending-length order (the seed order), so the
         seed scan is a masked min over the kept mask itself — no O(N)
         gather through a permutation array.
         """
-        iota = jnp.arange(kept.shape[0])
-        ahead = jnp.where(kept & (iota >= start), iota, kept.shape[0])
-        wrapped = jnp.where(kept, iota, kept.shape[0])
-        return jnp.minimum(jnp.min(ahead), jnp.min(wrapped))
+        n = kept.shape[0]
+        iota = jnp.arange(n)
+        first_ahead = jnp.min(jnp.where(kept & (iota >= start), iota, n))
+        first_any = jnp.min(jnp.where(kept, iota, n))
+        return jnp.where(first_ahead < n, first_ahead, first_any)
 
-    def wander(matrixT, lengths, kept, seed, key, n_dists):
-        """Hill-climb from `seed`; returns (medoid, d, n_dists').
+    def wander(matrixT, lengths, kept, seed, key, n_dists, n_dists_eff):
+        """Hill-climb from `seed`; returns (medoid, d, n_dists', n_dists_eff').
 
         Each step evaluates all sampled candidates in one (C,F)x(F,N)
         matmul; the jump target's distance row becomes the next medoid's
@@ -330,7 +340,7 @@ def _make_emit_batch(
             return ~carry[0]
 
         def body(carry):
-            _done, medoid, d, density, tried, key, n_dists = carry
+            _done, medoid, d, density, tried, key, n_dists, n_dists_eff = carry
             key, k1 = jax.random.split(key)
             elig = (d <= _MEDOID_RADIUS) & kept & ~tried & (iota != medoid)
             gumbel = -jnp.log(
@@ -366,7 +376,12 @@ def _make_emit_batch(
             d = jnp.where(any_better, D[j], d)
             density = jnp.where(any_better, dens[j], density)
             done = ~any_better
-            return (done, medoid, d, density, tried, key, n_dists + C * N)
+            # `upto` is exactly the number of candidates the reference's
+            # one-at-a-time sampler would have evaluated this step
+            return (
+                done, medoid, d, density, tried, key,
+                n_dists + C * N, n_dists_eff + upto.astype(jnp.float32) * N,
+            )
 
         init = (
             jnp.sum(kept & (d0 <= _MEDOID_RADIUS) & ~tried0) == 0,  # no candidates
@@ -376,9 +391,10 @@ def _make_emit_batch(
             tried0,
             key,
             n_dists + N,
+            n_dists_eff + N,
         )
         out = jax.lax.while_loop(cond, body, init)
-        return out[1], out[2], out[6]
+        return out[1], out[2], out[6], out[7]
 
     def histogram(d, lengths, kept):
         "Length-weighted 60-bin histogram of kept distances in [0, 0.3]."
@@ -452,10 +468,15 @@ def _make_emit_batch(
 
             key, sub = jax.random.split(state.key)
             state = state._replace(key=key)
-            medoid, d, n_dists = wander(
-                matrixT, lengths, state.kept, seed, sub, state.n_dists
+            medoid, d, n_dists, n_dists_eff = wander(
+                matrixT, lengths, state.kept, seed, sub,
+                state.n_dists, state.n_dists_eff,
             )
-            state = state._replace(n_dists=n_dists + N)  # + histogram pass
+            # histogram pass reuses the wander distances in the reference,
+            # so only raw count includes it
+            state = state._replace(
+                n_dists=n_dists + N, n_dists_eff=n_dists_eff
+            )
 
             n_close = jnp.sum((d < _MEDOID_RADIUS) & state.kept)
             hist = histogram(d, lengths, state.kept)
@@ -637,6 +658,7 @@ class ClusterGenerator:
             # through jnp.where-based state merges inside the device program
             key=jax.random.PRNGKey(rng_seed),
             n_dists=jnp.float32(0),
+            n_dists_eff=jnp.float32(0),
         )
         self._emit_batch = _make_emit_batch(
             n, windowsize, minsuccesses, min(maxsteps, n_pad), batch_clusters,
@@ -655,8 +677,15 @@ class ClusterGenerator:
 
     @property
     def n_dists(self) -> float:
-        "Total medoid-to-point distance evaluations so far."
+        "Total raw medoid-to-point distance evaluations so far."
         return float(self._state.n_dists)
+
+    @property
+    def n_dists_effective(self) -> float:
+        """Reference-equivalent distance evaluations so far: only the
+        candidates the reference's sequential sampler would have visited
+        (see _State.n_dists_eff)."""
+        return float(self._state.n_dists_eff)
 
     def __iter__(self):
         return self
