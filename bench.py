@@ -168,7 +168,96 @@ def bench_clustering() -> tuple[float, dict]:
     }
 
 
+def bench_pallas_ab() -> None:
+    """A/B the Pallas clustering kernels against the engine's XLA
+    expressions, in-program (lax.scan over 50 medoids — per-dispatch tunnel
+    overhead would otherwise dominate). Run: python bench.py --pallas-ab"""
+    import jax
+    import jax.numpy as jnp
+
+    from vamb_tpu.ops.pallas_cluster import (
+        candidate_density_sweep,
+        medoid_sweep,
+    )
+
+    prec = jax.lax.Precision.HIGHEST
+    n, f, c = 1_048_576, 40, 25
+    rng = np.random.default_rng(0)
+    mT = jnp.asarray((rng.normal(size=(f, n)) / 8).astype(np.float32))
+    wts = jnp.asarray(rng.integers(2000, 50_000, n).astype(np.float32))
+    reps = 50
+    idxs = jnp.arange(reps, dtype=jnp.int32) * 37 + 5
+
+    def scan_bench(step):
+        @jax.jit
+        def run(mT, wts, idxs):
+            def body(carry, idx):
+                return carry + step(mT, wts, idx), None
+
+            out, _ = jax.lax.scan(body, jnp.float32(0), idxs)
+            return out
+
+        np.asarray(run(mT, wts, idxs))
+        t0 = time.time()
+        np.asarray(run(mT, wts, idxs))
+        return (time.time() - t0) / reps * 1000
+
+    def xla_attempt(mT, wts, idx):
+        d = 0.5 - jnp.einsum(
+            "fn,f->n", mT, mT[:, idx], precision=prec,
+            preferred_element_type=jnp.float32,
+        )
+        d = d.at[idx].set(0.0)
+        kept = wts > 0
+        bins = jnp.clip((d / 0.005).astype(jnp.int32), 0, 59)
+        w = jnp.where((d >= 0) & (d <= 0.3) & kept, wts, 0.0)
+        hist = jnp.sum(
+            jnp.where(bins[:, None] == jnp.arange(60)[None, :], w[:, None], 0.0),
+            axis=0,
+        )
+        dens = jnp.sum(jnp.where((d <= 0.05) & kept, wts * (0.05 - d), 0.0))
+        return jnp.sum(d) + jnp.sum(hist) + dens
+
+    def pallas_attempt(mT, wts, idx):
+        d, hist, dens, ncl = medoid_sweep(mT, idx, wts)
+        return jnp.sum(d) + jnp.sum(hist) + dens + ncl
+
+    def xla_wander(mT, wts, idx):
+        cand = idx + jnp.arange(c)
+        rows = mT[:, cand]
+        D = 0.5 - jnp.einsum(
+            "fc,fn->cn", rows, mT, precision=prec,
+            preferred_element_type=jnp.float32,
+        )
+        kept = wts > 0
+        dens = jnp.sum(
+            jnp.where(
+                (D <= 0.05) & kept[None, :], wts[None, :] * (0.05 - D), 0.0
+            ),
+            axis=1,
+        )
+        j = jnp.argmax(dens)
+        return jnp.sum(D[j]) + dens[j]
+
+    def pallas_wander(mT, wts, idx):
+        dens = candidate_density_sweep(
+            mT, idx + jnp.arange(c, dtype=jnp.int32), wts
+        )
+        return jnp.sum(dens)
+
+    for name, fn in [
+        ("XLA attempt payload (matvec+hist+stats)", xla_attempt),
+        ("Pallas fused medoid_sweep", pallas_attempt),
+        ("XLA wander step (C-row matmul, D kept)", xla_wander),
+        ("Pallas candidate_density (no D in HBM)", pallas_wander),
+    ]:
+        print(f"{name}: {scan_bench(fn):.3f} ms", file=sys.stderr)
+
+
 def main() -> None:
+    if "--pallas-ab" in sys.argv:
+        bench_pallas_ab()
+        return
     vae_metrics = bench_vae()
     rate, cluster_metrics = bench_clustering()
 

@@ -1,0 +1,103 @@
+"""Correctness tests for the Pallas clustering kernels (interpret mode).
+
+The kernels run compiled only on TPU; here they execute through the Pallas
+interpreter on the CPU mesh against the engine's XLA reference expressions.
+On-chip validation + A/B timings live in bench.py (--pallas-ab) and the
+repo README; measured on v5e the XLA fusion wins the single-medoid sweep
+while the candidate sweep is ~1.5-2x faster in Pallas (but loses the
+(C, N) distance rows the engine's batched wander reuses), so the engine
+default remains the XLA path — see ops/pallas_cluster.py docstring.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vamb_tpu.ops.pallas_cluster import (
+    candidate_density_sweep,
+    medoid_sweep,
+    pallas_pad_multiple,
+)
+
+PREC = jax.lax.Precision.HIGHEST
+
+
+def make_data(n, f=40, seed=0):
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, 32)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True) * np.sqrt(2)
+    mT = np.zeros((f, n), np.float32)
+    mT[:32] = m.T
+    wts = np.where(
+        rng.random(n) < 0.9, rng.integers(2000, 50_000, n), 0
+    ).astype(np.float32)
+    return jnp.asarray(mT), jnp.asarray(wts)
+
+
+def xla_sweep(mT, idx, wts):
+    d = 0.5 - jnp.einsum(
+        "fn,f->n", mT, mT[:, idx], precision=PREC,
+        preferred_element_type=jnp.float32,
+    )
+    d = d.at[idx].set(0.0)
+    kept = wts > 0
+    bins = jnp.clip((d / 0.005).astype(jnp.int32), 0, 59)
+    w = jnp.where((d >= 0) & (d <= 0.3) & kept, wts, 0.0)
+    hist = jnp.sum(
+        jnp.where(bins[:, None] == jnp.arange(60)[None, :], w[:, None], 0.0),
+        axis=0,
+    )
+    dens = jnp.sum(jnp.where((d <= 0.05) & kept, wts * (0.05 - d), 0.0))
+    n_close = jnp.sum((d < 0.05) & kept)
+    return d, hist, dens, n_close
+
+
+class TestMedoidSweep:
+    def test_matches_xla(self):
+        n = pallas_pad_multiple()
+        mT, wts = make_data(n)
+        for idx in (0, 37, n - 1):
+            d, hist, dens, n_close = medoid_sweep(mT, idx, wts, interpret=True)
+            dr, hr, densr, ncr = xla_sweep(mT, idx, wts)
+            np.testing.assert_allclose(d, dr, atol=2e-7)
+            np.testing.assert_allclose(hist, hr, rtol=1e-6)
+            np.testing.assert_allclose(float(dens), float(densr), rtol=1e-5)
+            assert int(n_close) == int(ncr)
+
+    def test_removed_rows_carry_no_weight(self):
+        n = pallas_pad_multiple()
+        mT, wts = make_data(n, seed=1)
+        wts = wts.at[: n // 2].set(0.0)  # half the points removed
+        _, hist, dens, n_close = medoid_sweep(mT, 5, wts, interpret=True)
+        _, hr, densr, ncr = xla_sweep(mT, 5, wts)
+        np.testing.assert_allclose(hist, hr, rtol=1e-6)
+        np.testing.assert_allclose(float(dens), float(densr), rtol=1e-5)
+        assert int(n_close) == int(ncr)
+
+
+class TestCandidateDensitySweep:
+    @pytest.mark.parametrize("c", [1, 7, 25, 32])
+    def test_matches_xla(self, c):
+        n = pallas_pad_multiple()
+        mT, wts = make_data(n, seed=2)
+        rng = np.random.default_rng(c)
+        cand = jnp.asarray(
+            rng.choice(n, size=c, replace=False).astype(np.int32)
+        )
+        dens = candidate_density_sweep(mT, cand, wts, interpret=True)
+        rows = mT[:, cand]
+        D = 0.5 - jnp.einsum(
+            "fc,fn->cn", rows, mT, precision=PREC,
+            preferred_element_type=jnp.float32,
+        )
+        D = jnp.where(jnp.arange(n)[None, :] == cand[:, None], 0.0, D)
+        kept = wts > 0
+        expect = jnp.sum(
+            jnp.where(
+                (D <= 0.05) & kept[None, :], wts[None, :] * (0.05 - D), 0.0
+            ),
+            axis=1,
+        )
+        np.testing.assert_allclose(dens, expect, rtol=1e-5)

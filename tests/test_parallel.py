@@ -63,3 +63,86 @@ def test_sharded_clustering_matches_unsharded():
         for c in ClusterGenerator(matrix.copy(), lengths, mesh=mesh)
     ]
     assert plain == sharded
+
+
+def test_sharded_training_equivalence():
+    """Same seed, sharded vs unsharded: parameter trajectories must agree.
+
+    The sharded epoch re-shards every gathered batch across the mesh (each
+    device computes its slice's gradients; GSPMD inserts the all-reduce),
+    so this asserts the DP decomposition is exact, not just convergent."""
+    abundance, tnf, lengths = make_raw(n=512, s=3, seed=4)
+    ds = make_dataset(abundance, tnf, lengths)
+
+    def train(mesh):
+        vae = VAE(nsamples=3, nhiddens=[32, 32], nlatent=8, seed=2)
+        vae.trainmodel(
+            ds, nepochs=3, batchsize=64, batchsteps=None, mesh=mesh
+        )
+        return vae
+
+    plain = train(None)
+    sharded = train(make_mesh(8))
+    flat_p, _ = jax.tree_util.tree_flatten(plain.params)
+    flat_s, _ = jax.tree_util.tree_flatten(sharded.params)
+    for a, b in zip(flat_p, flat_s):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+        )
+
+
+def test_dp_epoch_hlo_has_no_dataset_sized_collectives():
+    """Compile the sharded epoch program and inventory its collectives:
+    nothing dataset-sized may cross devices — per-step communication is
+    bounded by batch rows + parameters (VERDICT round-1 item 4)."""
+    import re
+
+    from vamb_tpu.models.dataset import num_batches
+    from vamb_tpu.optim import dadapt_adam
+    from vamb_tpu.parallel.mesh import shard_rows_padded
+
+    n, s, batch = 2048, 4, 256
+    abundance, tnf, lengths = make_raw(n=n, s=s, seed=5)
+    ds = make_dataset(abundance, tnf, lengths)
+    mesh = make_mesh(8)
+    vae = VAE(nsamples=s, nhiddens=[32, 32], nlatent=8, seed=0)
+    opt = dadapt_adam()
+    epoch_fn = vae._make_epoch_fn(opt, mesh=mesh)
+    data = tuple(shard_rows_padded(np.asarray(a), mesh) for a in ds)
+    params = replicate(vae.params, mesh)
+    bn = replicate(vae.bn_state, mesh)
+    opt_state = replicate(opt.init(vae.params), mesh)
+    txt = (
+        epoch_fn.lower(
+            params, bn, opt_state, data, jax.random.key(0),
+            batchsize=batch, nbatches=num_batches(n, batch), n_obs=n,
+        )
+        .compile()
+        .as_text()
+    )
+    # dataset rows per shard: any collective whose result has a dimension
+    # >= the full dataset row count moves the dataset — forbidden
+    pattern = re.compile(
+        r"= (\S+) (all-gather|all-reduce|all-to-all|collective-permute|"
+        r"reduce-scatter)\("
+    )
+    seen = []
+    for line in txt.splitlines():
+        m = pattern.search(line)
+        if not m:
+            continue
+        shape = m.group(1)
+        seen.append((m.group(2), shape))
+        dims = [int(x) for x in re.findall(r"(\d+)", shape.split("{")[0])]
+        assert not dims or max(dims) < n, (
+            f"dataset-sized collective in DP epoch: {line.strip()[:160]}"
+        )
+    # and the input data must stay row-sharded (never silently replicated)
+    # [checked via compile-time sharding of the 4 data args]
+    comp = epoch_fn.lower(
+        params, bn, opt_state, data, jax.random.key(0),
+        batchsize=batch, nbatches=num_batches(n, batch), n_obs=n,
+    ).compile()
+    data_shardings = comp.input_shardings[0][3]
+    for sh in data_shardings:
+        assert "dp" in str(sh.spec), sh

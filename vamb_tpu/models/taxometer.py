@@ -208,7 +208,7 @@ class Taxometer:
             params = jax.tree.map(lambda p, u: p + u, params, updates)
             return (params, bn_state, opt_state), jnp.stack([loss])
 
-        epoch_fn = make_scan_epoch_fn(grad_and_update, 1)
+        epoch_fn = make_scan_epoch_fn(grad_and_update, 1, mesh=mesh)
         data = (
             jnp.asarray(dataset.depths),
             jnp.asarray(dataset.tnf),

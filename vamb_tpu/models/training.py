@@ -16,6 +16,7 @@ import jax.numpy as jnp
 def make_scan_epoch_fn(
     grad_and_update: Callable,
     n_metrics: int,
+    mesh=None,
 ):
     """Build a jitted epoch function from a per-batch update.
 
@@ -23,7 +24,18 @@ def make_scan_epoch_fn(
     `train_state` is any pytree and `metrics` a length-`n_metrics` vector.
     Returns `epoch_fn(train_state, data, key, batchsize, nbatches)` where
     `data` is a tuple of (N, ...) arrays gathered per batch.
+
+    With `mesh`, each gathered batch is re-sharded row-wise across the mesh
+    so every device computes its shard's gradients (GSPMD then all-reduces
+    them); without the constraint XLA replicates the whole batch's compute
+    on every device (see models/vae.py:_make_epoch_fn).
     """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        batch_sharding = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+    else:
+        batch_sharding = None
 
     @partial(
         jax.jit,
@@ -42,6 +54,11 @@ def make_scan_epoch_fn(
             train_state, key = carry
             key, sub = jax.random.split(key)
             batch = tuple(a[batch_idx] for a in data)
+            if batch_sharding is not None:
+                batch = tuple(
+                    jax.lax.with_sharding_constraint(a, batch_sharding)
+                    for a in batch
+                )
             train_state, metrics = grad_and_update(train_state, batch, sub)
             return (train_state, key), metrics
 

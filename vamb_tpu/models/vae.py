@@ -214,12 +214,31 @@ class VAE:
 
     # ------------------------------------------------------------ training
 
-    def _make_epoch_fn(self, optimizer, axis_name: Optional[str] = None) -> Callable:
+    def _make_epoch_fn(
+        self, optimizer, axis_name: Optional[str] = None, mesh=None
+    ) -> Callable:
         """Build the jitted one-epoch function (one per (batchsize, nbatches)).
 
         The epoch is a `lax.scan` over minibatch index blocks gathered from the
         device-resident dataset — no per-batch dispatch or transfers.
+
+        With `mesh`, each gathered batch is explicitly re-sharded row-wise
+        across the mesh before the forward/backward pass. Without the
+        constraint GSPMD resolves the shuffled gather by all-reducing the
+        batch to every device and *replicating* the whole batch's compute
+        (verified by HLO inspection, tests/test_parallel.py) — correct but
+        zero scaling. With it, each device computes grads on its batch
+        shard and XLA inserts the gradient all-reduce; per-step comms are
+        batch-sized + param-sized, never dataset-sized.
         """
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            batch_sharding = NamedSharding(
+                mesh, PartitionSpec(mesh.axis_names[0])
+            )
+        else:
+            batch_sharding = None
 
         def loss_fn(params, bn_state, batch, key):
             depths, tnf, ab, weights = batch
@@ -258,6 +277,11 @@ class VAE:
                     ab[batch_idx],
                     weights[batch_idx],
                 )
+                if batch_sharding is not None:
+                    batch = tuple(
+                        jax.lax.with_sharding_constraint(a, batch_sharding)
+                        for a in batch
+                    )
                 (_, (bn_state, comps)), grads = grad_fn(params, bn_state, batch, sub)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = jax.tree.map(lambda p, u: p + u, params, updates)
@@ -333,7 +357,7 @@ class VAE:
 
         optimizer = dadapt_adam()
         opt_state = optimizer.init(self.params)
-        epoch_fn = self._make_epoch_fn(optimizer)
+        epoch_fn = self._make_epoch_fn(optimizer, mesh=mesh)
         params, bn_state = self.params, self.bn_state
         if mesh is None:
             data = tuple(jnp.asarray(a) for a in dataset)
