@@ -2,10 +2,13 @@
 
 Behavioral parity: reference vamb/parsemarkers.py. The data model, JSON
 save/load, bin scoring, marker-name normalization and round-robin FASTA
-splitting are fully implemented. Actual gene prediction requires the
-pyrodigal (Prodigal) and pyhmmer (HMMER3) native libraries, exactly as the
-reference; `from_files` uses them when importable and otherwise raises a
-clear error. Precomputed markers (`--markers markers.npz`) always work.
+splitting are fully implemented. Gene prediction is pluggable: the
+`PyhmmerBackend` uses the pyrodigal/pyhmmer libraries (the reference's own
+dependencies) when importable, the `SubprocessBackend` shells out to the
+`prodigal` + `hmmsearch` executables when those are on PATH, and tests
+inject fake backends to exercise the split/pool/assembly orchestration
+without any native dependency. Precomputed markers (`--markers
+markers.npz`) always work.
 """
 
 import contextlib
@@ -118,27 +121,26 @@ class Markers:
         tmpdir_to_create: Path,
         n_processes: int,
         target_refhash: Optional[bytes],
+        backend: Optional["PredictorBackend"] = None,
     ):
-        """Predict markers: prodigal ORFs -> HMMER search vs `hmm_path`.
+        """Predict markers: gene finding -> HMM search vs `hmm_path`.
 
-        Requires the pyrodigal and pyhmmer native libraries (the same ones
-        the reference uses, parsemarkers.py:10-11); raises ImportError with
-        guidance if unavailable.
+        The orchestration (round-robin FASTA split, process pool, result
+        assembly, refhash verification — reference parsemarkers.py:123-178)
+        is backend-independent; the per-file prediction runs through a
+        `PredictorBackend`:
+
+        * `PyhmmerBackend` — pyrodigal + pyhmmer libraries (the reference's
+          own dependencies), used automatically when importable;
+        * `SubprocessBackend` — `prodigal` + `hmmsearch` executables, used
+          automatically when both are on PATH;
+        * any custom object implementing `predict_file` / `marker_names`
+          (tests inject a deterministic fake).
         """
-        try:
-            import pyhmmer  # noqa: F401
-            import pyrodigal  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "Marker prediction requires the 'pyrodigal' and 'pyhmmer' "
-                "packages, which are not installed in this environment. "
-                "Precomputed markers can be supplied with --markers instead."
-            ) from e
-
+        if backend is None:
+            backend = select_backend()
         n_processes = cap_processes(n_processes)
-        with open(hmm_path, "rb") as file:
-            hmms = list(pyhmmer.plan7.HMMFile(file))
-        _, marker_names = get_name_to_id([h.name.decode() for h in hmms])
+        marker_names = backend.marker_names(hmm_path)
 
         refhash, paths = split_file(contigs, contignames, tmpdir_to_create, n_processes)
         if target_refhash is not None:
@@ -150,7 +152,7 @@ class Markers:
         marker_list: list[Optional[np.ndarray]] = [None] * len(contignames)
         with Pool(n_processes) as pool:
             for sub_result in pool.imap_unordered(
-                _work_per_process, [(p, hmm_path) for p in paths]
+                _predict_one_file, [(backend, p, hmm_path) for p in paths]
             ):
                 for contig_name, markers in sub_result:
                     marker_list[index_of_name[contig_name]] = markers
@@ -212,48 +214,188 @@ def get_name_to_id(
     return name_to_id, marker_names
 
 
-def _work_per_process(args: tuple[Path, Path]) -> list[tuple[str, np.ndarray]]:
-    "Per-process: prodigal genes -> hmmsearch with trusted-cutoff filter."
-    import pyhmmer
-    import pyrodigal
-
-    contig_path, hmm_path = args
-    with open(hmm_path, "rb") as file:
-        hmms = list(pyhmmer.plan7.HMMFile(file))
-    name_to_id, _ = get_name_to_id([h.name.decode() for h in hmms])
-
-    result: list[tuple[str, np.ndarray]] = []
-    chunk = []
-    finder = pyrodigal.GeneFinder(meta=True)
-    with open(contig_path, "rb") as file:
-        for record in byte_iterfasta(file, None):
-            chunk.append(record)
-            if len(chunk) == 2048:
-                result.extend(_process_chunk(chunk, hmms, name_to_id, finder))
-                chunk.clear()
-        result.extend(_process_chunk(chunk, hmms, name_to_id, finder))
-    return result
+def _predict_one_file(
+    args: "tuple[PredictorBackend, Path, Path]",
+) -> list[tuple[str, np.ndarray]]:
+    "Pool worker: run the (picklable) backend on one FASTA shard."
+    backend, contig_path, hmm_path = args
+    return backend.predict_file(contig_path, hmm_path)
 
 
-def _process_chunk(chunk, hmms, name_to_id, finder):
-    import pyhmmer
+# ------------------------------------------------------------------ backends
 
-    markers: defaultdict[str, set[int]] = defaultdict(set)
-    alphabet = pyhmmer.easel.Alphabet.amino()
-    digitized = []
-    for record in chunk:
-        for gene in finder.find_genes(record.sequence):
-            seq = pyhmmer.easel.TextSequence(
-                name=record.identifier.encode(), sequence=gene.translate()
-            ).digitize(alphabet)
-            digitized.append(seq)
-    for hmm, top_hits in zip(hmms, pyhmmer.hmmsearch(hmms, digitized)):
-        marker_id = name_to_id[hmm.name.decode()]
-        score_cutoff = hmm.cutoffs.trusted1
-        assert score_cutoff is not None
-        for hit in top_hits:
-            if hit.score >= score_cutoff:
-                markers[hit.name.decode()].add(marker_id)
-    return [
-        (name, np.array(list(ids), dtype=np.uint8)) for (name, ids) in markers.items()
-    ]
+
+class PredictorBackend:
+    """Gene-prediction + HMM-search backend protocol.
+
+    Implementations must be picklable (instances cross a multiprocessing
+    Pool boundary) and provide:
+
+    * `marker_names(hmm_path) -> list[list[str]]` — merged marker-ID name
+      groups, in ID order (see `get_name_to_id`);
+    * `predict_file(contig_fasta, hmm_path) -> list[(contig_name, ids)]`
+      — per-contig uint8 arrays of marker IDs found on that contig.
+    """
+
+    def marker_names(self, hmm_path: Path) -> list[list[str]]:
+        raise NotImplementedError
+
+    def predict_file(
+        self, contig_path: Path, hmm_path: Path
+    ) -> list[tuple[str, np.ndarray]]:
+        raise NotImplementedError
+
+
+def select_backend() -> PredictorBackend:
+    "Pick the best available backend; raise with guidance when none is."
+    try:
+        import pyhmmer  # noqa: F401
+        import pyrodigal  # noqa: F401
+
+        return PyhmmerBackend()
+    except ImportError:
+        pass
+    if shutil.which("prodigal") and shutil.which("hmmsearch"):
+        return SubprocessBackend()
+    raise ImportError(
+        "Marker prediction needs either the 'pyrodigal' + 'pyhmmer' Python "
+        "packages or the 'prodigal' + 'hmmsearch' executables on PATH; "
+        "none were found. Precomputed markers can be supplied with "
+        "--markers instead."
+    )
+
+
+class PyhmmerBackend(PredictorBackend):
+    "In-process prediction via pyrodigal + pyhmmer (reference parsemarkers.py:231-264)."
+
+    CHUNK = 2048  # sequences digitized per hmmsearch batch
+
+    def marker_names(self, hmm_path: Path) -> list[list[str]]:
+        import pyhmmer
+
+        with open(hmm_path, "rb") as file:
+            hmms = list(pyhmmer.plan7.HMMFile(file))
+        return get_name_to_id([h.name.decode() for h in hmms])[1]
+
+    def predict_file(self, contig_path, hmm_path):
+        import pyhmmer
+        import pyrodigal
+
+        with open(hmm_path, "rb") as file:
+            hmms = list(pyhmmer.plan7.HMMFile(file))
+        name_to_id, _ = get_name_to_id([h.name.decode() for h in hmms])
+
+        result: list[tuple[str, np.ndarray]] = []
+        chunk: list = []
+        finder = pyrodigal.GeneFinder(meta=True)
+        with open(contig_path, "rb") as file:
+            for record in byte_iterfasta(file, None):
+                chunk.append(record)
+                if len(chunk) == self.CHUNK:
+                    result.extend(self._chunk(chunk, hmms, name_to_id, finder))
+                    chunk.clear()
+            result.extend(self._chunk(chunk, hmms, name_to_id, finder))
+        return result
+
+    @staticmethod
+    def _chunk(chunk, hmms, name_to_id, finder):
+        import pyhmmer
+
+        markers: defaultdict[str, set[int]] = defaultdict(set)
+        alphabet = pyhmmer.easel.Alphabet.amino()
+        digitized = []
+        for record in chunk:
+            for gene in finder.find_genes(record.sequence):
+                seq = pyhmmer.easel.TextSequence(
+                    name=record.identifier.encode(), sequence=gene.translate()
+                ).digitize(alphabet)
+                digitized.append(seq)
+        for hmm, top_hits in zip(hmms, pyhmmer.hmmsearch(hmms, digitized)):
+            marker_id = name_to_id[hmm.name.decode()]
+            score_cutoff = hmm.cutoffs.trusted1
+            assert score_cutoff is not None
+            for hit in top_hits:
+                if hit.score >= score_cutoff:
+                    markers[hit.name.decode()].add(marker_id)
+        return [
+            (name, np.array(sorted(ids), dtype=np.uint8))
+            for (name, ids) in markers.items()
+        ]
+
+
+class SubprocessBackend(PredictorBackend):
+    """Prediction via the `prodigal` and `hmmsearch` executables.
+
+    prodigal emits proteins named `<contig>_<geneidx>`; hmmsearch is run
+    with `--cut_tc` (trusted sequence cutoffs — the same filter the
+    pyhmmer path applies via `hmm.cutoffs.trusted1`) and its `--tblout`
+    table is parsed for (gene, HMM) hits.
+    """
+
+    def marker_names(self, hmm_path: Path) -> list[list[str]]:
+        return get_name_to_id(read_hmm_names(hmm_path))[1]
+
+    def predict_file(self, contig_path, hmm_path):
+        import subprocess
+        import tempfile
+
+        name_to_id, _ = get_name_to_id(read_hmm_names(hmm_path))
+        with tempfile.TemporaryDirectory() as tmp:
+            proteins = Path(tmp) / "proteins.faa"
+            tbl = Path(tmp) / "hits.tbl"
+            subprocess.run(
+                [
+                    "prodigal", "-p", "meta", "-q",
+                    "-i", str(contig_path), "-a", str(proteins),
+                ],
+                check=True,
+                capture_output=True,
+            )
+            subprocess.run(
+                [
+                    "hmmsearch", "--cut_tc", "--tblout", str(tbl),
+                    str(hmm_path), str(proteins),
+                ],
+                check=True,
+                capture_output=True,
+            )
+            with open(tbl) as file:
+                per_contig = parse_hmmsearch_tblout(file, name_to_id)
+        return [
+            (name, np.array(sorted(ids), dtype=np.uint8))
+            for name, ids in per_contig.items()
+        ]
+
+
+def read_hmm_names(hmm_path: Path) -> list[str]:
+    "HMM names from a (plain or gzipped) HMMER3 flat file, in file order."
+    names = []
+    with Reader(hmm_path) as file:
+        for raw in file:
+            if raw.startswith(b"NAME "):
+                names.append(raw.split(maxsplit=1)[1].strip().decode())
+    if not names:
+        raise ValueError(f"No NAME records found in HMM file {hmm_path}")
+    return names
+
+
+def parse_hmmsearch_tblout(
+    lines: Iterable[str], name_to_id: dict[str, int]
+) -> dict[str, set[int]]:
+    """Parse `hmmsearch --tblout` output into {contig: marker ids}.
+
+    Column 0 is the target (gene) name `<contig>_<idx>`; column 2 is the
+    query HMM name. Scores need no filtering here — `--cut_tc` already
+    applied the trusted cutoffs.
+    """
+    per_contig: dict[str, set[int]] = defaultdict(set)
+    for line in lines:
+        if line.startswith("#") or not line.strip():
+            continue
+        fields = line.split()
+        gene, query = fields[0], fields[2]
+        contig = gene.rsplit("_", 1)[0]
+        marker_id = name_to_id.get(query)
+        if marker_id is not None:
+            per_contig[contig].add(marker_id)
+    return per_contig
