@@ -29,105 +29,127 @@ from ..taxonomy import ContigTaxonomy
 
 
 class Hierarchy:
-    "Tree of nodes 0..n-1 given by a topologically-sorted parent array."
+    """Rooted tree over nodes 0..n-1, defined by a parent array.
+
+    Node 0 is the root (parent -1) and every parent index is smaller than
+    its child's, so iterating nodes in index order visits parents before
+    children and in reverse order children before parents — the two
+    traversals every method here is built from. Construction precomputes
+    the root-to-node path of every node (its ancestor chain), which makes
+    the mask/paths/accumulation queries simple lookups over chains rather
+    than edge-relaxation loops.
+    """
 
     def __init__(self, parents: np.ndarray):
         parents = np.asarray(parents, dtype=int)
         n = len(parents)
-        if not np.all(parents[1:] < np.arange(1, n)):
-            raise ValueError("parents must be topologically sorted (parent < child)")
         if n > 0 and parents[0] != -1:
             raise ValueError("node 0 must be the root (parent -1)")
+        if not np.all(parents[1:] < np.arange(1, n)):
+            raise ValueError("parents must be topologically sorted (parent < child)")
         self._parents = parents
+        # root-to-node chains, built parents-first: chain(j) = chain(p) + [j]
+        chains: list[list[int]] = [[0]] if n else []
+        for j in range(1, n):
+            chains.append(chains[parents[j]] + [j])
+        self._chains = chains
+        counts = np.zeros(n, dtype=int)
+        for j in range(1, n):
+            counts[parents[j]] += 1
+        self._n_children = counts
+
+    # -- basic shape -------------------------------------------------------
 
     def num_nodes(self) -> int:
         return len(self._parents)
 
     def parents(self, root_loop: bool = False) -> np.ndarray:
+        "Parent array; with `root_loop` the root points at itself."
         if root_loop:
-            return np.where(
-                self._parents >= 0, self._parents, np.arange(len(self._parents))
-            )
+            out = self._parents.copy()
+            out[out < 0] = np.flatnonzero(self._parents < 0)
+            return out
         return self._parents.copy()
 
     def edges(self) -> list[tuple[int, int]]:
-        return list(zip(self._parents[1:], range(1, len(self._parents))))
+        "(parent, child) pairs in child order."
+        return [(int(p), j) for j, p in enumerate(self._parents) if p >= 0]
 
     def children(self) -> dict[int, np.ndarray]:
-        result: dict[int, list[int]] = {}
-        for i, j in self.edges():
-            result.setdefault(i, []).append(j)
-        return {k: np.array(v, dtype=int) for k, v in result.items()}
+        "Child index arrays keyed by internal node."
+        groups: dict[int, list[int]] = {}
+        for p, j in self.edges():
+            groups.setdefault(p, []).append(j)
+        return {p: np.array(js, dtype=int) for p, js in groups.items()}
 
     def num_children(self) -> np.ndarray:
-        n = len(self._parents)
-        unique, counts = np.unique(self._parents[1:], return_counts=True)
-        result = np.zeros(n, dtype=int)
-        result[unique] = counts
-        return result
+        return self._n_children.copy()
+
+    # -- leaves / depths ---------------------------------------------------
 
     def leaf_mask(self) -> np.ndarray:
-        return self.num_children() == 0
+        return self._n_children == 0
 
     def leaf_subset(self) -> np.ndarray:
         return np.flatnonzero(self.leaf_mask())
 
     def internal_subset(self) -> np.ndarray:
-        return np.flatnonzero(~self.leaf_mask())
+        return np.flatnonzero(self._n_children > 0)
 
     def num_leaf_nodes(self) -> int:
-        return int(np.count_nonzero(self.leaf_mask()))
+        return int(np.sum(self.leaf_mask()))
 
     def num_internal_nodes(self) -> int:
-        return int(np.count_nonzero(~self.leaf_mask()))
+        return int(np.sum(self._n_children > 0))
 
     def depths(self) -> np.ndarray:
-        return self.accumulate_ancestors(np.add, (self._parents >= 0).astype(int))
+        "Edge count from the root (root depth 0)."
+        return np.array([len(c) - 1 for c in self._chains], dtype=int)
 
     def num_leaf_descendants(self) -> np.ndarray:
         return self.accumulate_descendants(np.add, self.leaf_mask().astype(int))
 
+    # -- traversing accumulations -----------------------------------------
+
     def accumulate_ancestors(self, func: Callable, values) -> np.ndarray:
-        "Root-to-leaf accumulation along edges."
-        partials = np.array(values)
-        for i, j in self.edges():
-            partials[j] = func(partials[i], partials[j])
-        return partials
+        "Fold `func` down every root-to-leaf path (parents before children)."
+        out = np.array(values)
+        for j, p in enumerate(self._parents):
+            if p >= 0:
+                out[j] = func(out[p], out[j])
+        return out
 
     def accumulate_descendants(self, func: Callable, values) -> np.ndarray:
-        "Leaf-to-root accumulation along edges."
-        partials = np.array(values)
-        for i, j in reversed(self.edges()):
-            partials[i] = func(partials[i], partials[j])
-        return partials
+        "Fold `func` up from the leaves (children before parents)."
+        out = np.array(values)
+        for j in range(len(self._parents) - 1, 0, -1):
+            out[self._parents[j]] = func(out[self._parents[j]], out[j])
+        return out
+
+    # -- ancestor structure ------------------------------------------------
 
     def ancestor_mask(self, strict: bool = False) -> np.ndarray:
-        "is_ancestor[i, j]: path i..j exists (i == j counts unless strict)."
-        n = len(self._parents)
-        is_descendant = np.zeros((n, n), dtype=bool)
-        if not strict:
-            is_descendant[0, 0] = 1
-        for i, j in self.edges():
-            is_descendant[j, :] = is_descendant[i, :]
-            if strict:
-                is_descendant[j, i] = 1
-            else:
-                is_descendant[j, j] = 1
-        return is_descendant.T
-
-    def paths_padded(self, pad_value: int = -1, exclude_root: bool = False) -> np.ndarray:
-        "Root-to-node paths as a (-1)-padded (n, max_depth) index matrix."
+        "Boolean [i, j]: i lies on the root-to-j path (j itself unless strict)."
         n = self.num_nodes()
-        is_descendant = self.ancestor_mask(strict=False).T
-        if exclude_root:
-            paths = [np.flatnonzero(mask[1:]) + 1 for mask in is_descendant]
-        else:
-            paths = [np.flatnonzero(mask) for mask in is_descendant]
-        max_len = max(len(p) for p in paths)
-        padded = np.full((n, max_len), pad_value, dtype=int)
-        for i, p in enumerate(paths):
-            padded[i, : len(p)] = p
-        return padded
+        out = np.zeros((n, n), dtype=bool)
+        for j, chain in enumerate(self._chains):
+            out[chain, j] = True
+            if strict:
+                out[j, j] = False
+        return out
+
+    def paths_padded(
+        self, pad_value: int = -1, exclude_root: bool = False
+    ) -> np.ndarray:
+        "Root-to-node chains as one (n, max_depth) pad-filled index matrix."
+        chains = (
+            [c[1:] for c in self._chains] if exclude_root else self._chains
+        )
+        width = max((len(c) for c in chains), default=0)
+        out = np.full((self.num_nodes(), width), pad_value, dtype=int)
+        for j, chain in enumerate(chains):
+            out[j, : len(chain)] = chain
+        return out
 
 
 def make_graph(

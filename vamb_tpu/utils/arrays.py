@@ -12,48 +12,51 @@ import numpy as np
 
 
 class PushArray:
-    """Growable 1-D numpy buffer with amortized-O(1) append/extend.
+    """Append-only 1-D numpy buffer with amortized-O(1) growth.
 
-    Grows by a power of two that is at least 1/8 of current capacity, so it
-    neither reallocates too often nor over-allocates (reference
-    vambtools.py:218-223 uses the same policy; `take()` shrinks to fit).
+    Fills the same role as the reference's growable array
+    (vambtools.py:191-247) for streaming feature extraction: values are
+    pushed one at a time or in slices, and `take()` hands back a
+    shrink-to-fit array. Capacity doubles whenever it runs out, so the
+    total copy work stays linear in the number of pushed elements.
     """
 
-    __slots__ = ["data", "capacity", "length"]
+    __slots__ = ["data", "length"]
 
     def __init__(self, dtype, start_capacity: int = 1 << 16):
-        self.capacity: int = start_capacity
-        self.data: np.ndarray = np.empty(self.capacity, dtype=dtype)
+        self.data: np.ndarray = np.empty(max(start_capacity, 1), dtype=dtype)
         self.length = 0
 
     def __len__(self) -> int:
         return self.length
 
-    def _setcapacity(self, n: int) -> None:
-        self.data.resize(n, refcheck=False)
-        self.capacity = n
+    @property
+    def capacity(self) -> int:
+        return len(self.data)
 
-    def _grow(self, mingrowth: int) -> None:
-        growth = max(int(self.capacity * 0.125), mingrowth)
-        nextpow2 = 1 << (growth - 1).bit_length()
-        self._setcapacity(self.capacity + nextpow2)
+    def _reserve(self, extra: int) -> None:
+        needed = self.length + extra
+        if needed <= len(self.data):
+            return
+        new_capacity = max(len(self.data), 64)
+        while new_capacity < needed:
+            new_capacity *= 2
+        self.data.resize(new_capacity, refcheck=False)
 
     def append(self, value) -> None:
-        if self.length == self.capacity:
-            self._grow(64)
+        self._reserve(1)
         self.data[self.length] = value
         self.length += 1
 
     def extend(self, values) -> None:
-        lenv = len(values)
-        if self.length + lenv > self.capacity:
-            self._grow(lenv)
-        self.data[self.length : self.length + lenv] = values
-        self.length += lenv
+        n = len(values)
+        self._reserve(n)
+        self.data[self.length : self.length + n] = values
+        self.length += n
 
     def take(self) -> np.ndarray:
         "Shrink to fit and return the underlying array."
-        self._setcapacity(self.length)
+        self.data.resize(self.length, refcheck=False)
         return self.data
 
     def clear(self) -> None:
@@ -66,32 +69,34 @@ def zscore(
 ) -> np.ndarray:
     """Z-score normalize `array`, optionally along `axis`, optionally in place.
 
-    Zero-std slices are left centered but not scaled (std treated as 1), as in
-    reference vambtools.py:250-288.
+    The exact arithmetic (population std, subtract-then-divide in place) is
+    part of the dataset-normalization parity contract with the reference
+    (vambtools.py:250-288) and is pinned by tests/test_parity_dataset.py.
+    Slices with zero spread are centered but left unscaled.
     """
     if axis is not None and (axis >= array.ndim or axis < 0):
         raise np.exceptions.AxisError(str(axis))
-
     if inplace and not np.issubdtype(array.dtype, np.floating):
         raise TypeError("Cannot convert a non-float array to zscores")
 
     mean = array.mean(axis=axis)
     std = array.std(axis=axis)
-
     if axis is None:
-        if std == 0:
-            std = 1
+        std = std if std != 0 else 1
     else:
         std[std == 0.0] = 1
-        shape = tuple(dim if ax != axis else 1 for ax, dim in enumerate(array.shape))
-        mean.shape, std.shape = shape, shape
+        # reshape the reductions for broadcasting against the original
+        keepdims = tuple(
+            1 if ax == axis else dim for ax, dim in enumerate(array.shape)
+        )
+        mean = mean.reshape(keepdims)
+        std = std.reshape(keepdims)
 
-    if inplace:
-        array -= mean
-        array /= std
-        return array
-    else:
+    if not inplace:
         return (array - mean) / std
+    array -= mean
+    array /= std
+    return array
 
 
 def mask_lower_bits(floats: np.ndarray, bits: int) -> None:

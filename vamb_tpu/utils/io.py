@@ -21,26 +21,32 @@ from .kmers import kmercounts
 CLUSTERS_HEADER = "clustername\tcontigname"
 
 
-class Reader:
-    """Open plain, gzip, bzip2 or xz files transparently (binary mode).
+_MAGIC_OPENERS: list[tuple[bytes, object]] = [
+    (b"\x1f\x8b", gzip.open),
+    (b"BZh", bz2.open),
+    (b"\xfd7zXZ\x00", lzma.open),
+]
 
-    Format is sniffed from magic bytes, never from the file extension
-    (reference vambtools.py:333-375).
+
+class Reader:
+    """Transparently open a possibly-compressed file for binary reading.
+
+    The compression format (gzip, bzip2, xz, or none) is decided by the
+    file's leading magic bytes — the extension is never consulted, so
+    mislabeled files still open correctly. Same role as the reference's
+    sniffing reader (vambtools.py:333-375).
     """
 
     def __init__(self, filename: Union[str, Path]):
         self.filename = filename
-        with open(self.filename, "rb") as f:
-            signature = f.peek(8)[:8]
-
-        if tuple(signature[:2]) == (0x1F, 0x8B):  # gzip
-            self.filehandle = gzip.open(self.filename, "rb")
-        elif signature[:2] == b"BZ":  # bzip2
-            self.filehandle = bz2.open(self.filename, "rb")
-        elif tuple(signature[:7]) == (0xFD, 0x37, 0x7A, 0x58, 0x5A, 0x00, 0x00):  # xz
-            self.filehandle = lzma.open(self.filename, "rb")
+        with open(filename, "rb") as raw:
+            head = raw.read(8)
+        for magic, opener in _MAGIC_OPENERS:
+            if head.startswith(magic):
+                self.filehandle = opener(filename, "rb")
+                break
         else:
-            self.filehandle = open(self.filename, "rb")
+            self.filehandle = open(filename, "rb")
 
     def close(self):
         self.filehandle.close()
@@ -56,51 +62,52 @@ class Reader:
 
 
 class FastaEntry:
-    """A single FASTA record with a SAM-spec-validated identifier.
+    """One FASTA record: a validated identifier, description and sequence.
 
-    The identifier is the header up to the first whitespace; the regex is the
-    SAM specification's valid reference-name pattern (minus leading '#'),
-    ensuring FASTA and BAM headers can always be matched
-    (reference vambtools.py:378-447).
+    The identifier (header text up to the first whitespace) must match the
+    SAM specification's reference-name grammar — this is a hard contract,
+    not style: abundance comes from BAM files whose reference names obey
+    that grammar, so any FASTA header that can't appear in a BAM could
+    never be joined with its coverage (reference vambtools.py:378-447 keeps
+    the same rule). Sequences may contain IUPAC DNA/RNA codes only;
+    whitespace inside sequence lines is dropped.
     """
 
-    # IUPAC ambiguous DNA letters + U, both cases
-    allowed = b"acgtuswkmyrbdhvn"
-    allowed += allowed.upper()
+    # the SAM reference-name pattern (leading '#' additionally excluded),
+    # with an optional whitespace-separated description after it
     regex = re.compile(
         b"([0-9A-Za-z!$%&+./:;?@^_|~-][0-9A-Za-z!#$%&*+./:;=?@^_|~-]*)([^\\S\r\n][^\r\n]*)?$"
     )
+    # IUPAC nucleotide codes, upper and lower case
+    allowed = b"acgtuswkmyrbdhvn" + b"acgtuswkmyrbdhvn".upper()
     __slots__ = ["identifier", "description", "sequence"]
 
     def _verify_header(self, header: bytes) -> tuple[str, str]:
         m = self.regex.match(header)
         if m is None:
             raise ValueError(
-                f'Invalid header in FASTA: "{header.decode()}". '
-                '\nMust conform to identifier regex pattern of SAM specification: "'
-                '>([0-9A-Za-z!$%&+./:;?@^_|~-][0-9A-Za-z!#$%&*+./:;=?@^_|~-]*)([^\\S\\r\\n][^\\r\\n]*)?$".\n'
-                "If the header does not fit this pattern, the header cannot be "
-                "represented in BAM files, which means sequences in BAM and FASTA "
-                "files cannot be compared."
+                f'FASTA header "{header.decode()}" has an identifier that '
+                "cannot occur as a BAM reference name (SAM spec pattern "
+                f"{self.regex.pattern.decode()!r}), so its sequence could "
+                "never be matched against BAM coverage. Rename the sequence."
             )
         identifier, description = m.groups()
-        description = "" if description is None else description.decode()
-        return (identifier.decode(), description)
+        return (
+            identifier.decode(),
+            "" if description is None else description.decode(),
+        )
 
     def __init__(self, header: bytes, sequence: bytearray):
-        identifier, description = self._verify_header(header)
-        self.identifier: str = identifier
-        self.description: str = description
-        masked = sequence.translate(None, b" \t\n\r")
-        stripped = masked.translate(None, self.allowed)
-        if len(stripped) > 0:
-            codeunit = stripped[0]
-            bad_character = chr(codeunit)
+        self.identifier, self.description = self._verify_header(header)
+        cleaned = sequence.translate(None, b" \t\n\r")
+        invalid = cleaned.translate(None, self.allowed)
+        if invalid:
             raise ValueError(
-                f"Non-IUPAC DNA/RNA byte in sequence '{identifier}': "
-                f"'{bad_character}', byte value {codeunit}"
+                f"Sequence '{self.identifier}' contains byte "
+                f"{invalid[0]} ('{chr(invalid[0])}'), which is not an "
+                "IUPAC DNA/RNA code"
             )
-        self.sequence: bytearray = masked
+        self.sequence: bytearray = cleaned
 
     @property
     def header(self) -> str:
