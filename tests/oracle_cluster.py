@@ -80,15 +80,19 @@ class OracleRecord:
 # oracle calls them step by step from its sequential control flow.
 
 _PREC = jax.lax.Precision.HIGHEST
+_SPEC = 8  # engine _SPEC_SEEDS: seeds per speculative distance batch
 
 
 @jax.jit
-def _k_matvec(mT, idx):
-    row = mT[:, idx]
-    d = 0.5 - jnp.einsum(
-        "fn,f->n", mT, row, precision=_PREC, preferred_element_type=jnp.float32
+def _k_spec_batch(mT, seeds):
+    "Engine spec_batch: S seed distance rows in one matmul, self-dists 0."
+    rows = mT[:, seeds]
+    D = 0.5 - jnp.einsum(
+        "fc,fn->cn", rows, mT, precision=_PREC,
+        preferred_element_type=jnp.float32,
     )
-    return d.at[idx].set(0.0)
+    iota = jnp.arange(mT.shape[1])
+    return jnp.where(iota[None, :] == seeds[:, None], 0.0, D)
 
 
 @jax.jit
@@ -225,16 +229,36 @@ class SequentialOracle:
         self.order_pos = 0
         self.key = jax.random.PRNGKey(rng_seed)
         self.n_remaining = n
+        # mirror of the engine's speculative seed cache: rows are reused
+        # only on exact seed-id match, refilled with the same batched
+        # matmul at the same points, so d0 is numerically identical
+        self.spec_seeds = np.full(_SPEC, -1, np.int64)
+        self.spec_d = np.zeros((_SPEC, n_pad), np.float32)
 
     # -- reference control flow, one rule per method ----------------------
 
-    def next_seed(self) -> int:
-        "First surviving row cyclically from order_pos (ref :342-384)."
+    def peek_seed(self, pos: int) -> int:
+        "First surviving row cyclically from `pos` (ref :342-384)."
         kept_idx = np.flatnonzero(self.kept)
-        ahead = kept_idx[kept_idx >= self.order_pos]
-        seed = int(ahead[0]) if len(ahead) else int(kept_idx[0])
+        ahead = kept_idx[kept_idx >= pos]
+        return int(ahead[0]) if len(ahead) else int(kept_idx[0])
+
+    def seed_distances(self) -> tuple[int, np.ndarray]:
+        "Resolve the next seed and its distance row via the spec cache."
+        seed = self.peek_seed(self.order_pos)
+        if seed not in self.spec_seeds:
+            pos = self.order_pos
+            seeds = np.empty(_SPEC, np.int64)
+            for k in range(_SPEC):
+                seeds[k] = self.peek_seed(pos)
+                pos = seeds[k] + 1
+            self.spec_seeds = seeds
+            self.spec_d = np.asarray(
+                _k_spec_batch(self.mT, jnp.asarray(seeds.astype(np.int32)))
+            )
+        slot = int(np.argmax(self.spec_seeds == seed))
         self.order_pos = seed + 1
-        return seed
+        return seed, self.spec_d[slot]
 
     def update_successes(self, success: bool) -> None:
         "The success deque + pvr bump (ref :386-413)."
@@ -251,11 +275,11 @@ class SequentialOracle:
             self.successes = 0
             self.order_pos = 0
 
-    def wander(self, seed: int, sub_key):
+    def wander(self, seed: int, d0: np.ndarray, sub_key):
         """First-improvement hill climb (ref :415-450), consuming the
         engine's per-step Gumbel candidate stream."""
         kept_j = jnp.asarray(self.kept)
-        d = _k_matvec(self.mT, seed)
+        d = jnp.asarray(d0)
         density = float(_k_density(d, self.lengths, kept_j))
         tried = np.zeros(self.n_pad, bool)
         tried[seed] = True
@@ -304,9 +328,9 @@ class SequentialOracle:
         if self.n_remaining == 0:
             raise StopIteration
         while True:
-            seed = self.next_seed()
+            seed, d0 = self.seed_distances()
             self.key, sub = jax.random.split(self.key)
-            medoid, d = self.wander(seed, sub)
+            medoid, d = self.wander(seed, d0, sub)
 
             kept_j = jnp.asarray(self.kept)
             n_close = int(np.sum((d < _MEDOID_RADIUS) & self.kept))

@@ -79,6 +79,16 @@ _LANES = 128
 _SUBLANES = 8
 _DEFAULT_BATCH = 128  # clusters emitted per device dispatch
 
+# Speculative seed cache: distance rows for the next S likely seeds are
+# computed in ONE (S,F)x(F,N) matmul (same cost as a single matvec sweep —
+# the matrix read dominates) and consumed across subsequent attempts. A
+# cached row is used only when its seed id EXACTLY equals the freshly
+# computed next_seed, so decisions are independent of the cache; rejected
+# attempts don't change the kept mask, making hits the common case, and
+# emission merely skips the removed seeds. This amortizes the per-attempt
+# seed sweep ~S-fold in rejection-heavy (high-pvr) phases.
+_SPEC_SEEDS = 8
+
 # Candidate sampling uses top-k of Gumbel noise (= uniform sample without
 # replacement). On TPU, exact top_k sorts the full vector; approx_max_k is a
 # single-pass kernel with >=0.95 recall — for *sampling*, any deviation just
@@ -254,6 +264,8 @@ class _State(NamedTuple):
     # the first jump; the engine's batched matmul evaluates all C at once,
     # so raw n_dists overstates cross-comparable work)
     n_dists_eff: jax.Array
+    spec_seeds: jax.Array  # (_SPEC_SEEDS,) i32, -1 = empty slot
+    spec_d: jax.Array  # (_SPEC_SEEDS, N) f32 cached distance rows
 
 
 class _Records(NamedTuple):
@@ -295,13 +307,15 @@ def _make_emit_batch(
         else jax.lax.Precision.DEFAULT
     )
 
-    def matvec(matrixT, idx):
-        row = matrixT[:, idx]
-        d = 0.5 - jnp.einsum(
-            "fn,f->n", matrixT, row, precision=_prec,
+    def spec_batch(matrixT, seeds):
+        "Distance rows for S seeds in one matmul, self-distances zeroed."
+        rows = matrixT[:, seeds]  # (F, S)
+        D = 0.5 - jnp.einsum(
+            "fc,fn->cn", rows, matrixT, precision=_prec,
             preferred_element_type=jnp.float32,
         )
-        return d.at[idx].set(0.0)
+        iota = jnp.arange(matrixT.shape[1])
+        return jnp.where(iota[None, :] == seeds[:, None], 0.0, D)
 
     def density_of(d, lengths, kept):
         return jnp.sum(
@@ -323,8 +337,21 @@ def _make_emit_batch(
         first_any = jnp.min(jnp.where(kept, iota, n))
         return jnp.where(first_ahead < n, first_ahead, first_any)
 
-    def wander(matrixT, lengths, kept, seed, key, n_dists, n_dists_eff):
-        """Hill-climb from `seed`; returns (medoid, d, n_dists', n_dists_eff').
+    def next_seeds_batch(kept, start):
+        "The next S seeds the cycling scan would produce from `start`."
+
+        def step(pos, _):
+            s = next_seed(kept, pos)
+            return s + 1, s
+
+        _, seeds = jax.lax.scan(
+            step, start, None, length=_SPEC_SEEDS
+        )
+        return seeds.astype(jnp.int32)
+
+    def wander(matrixT, lengths, kept, seed, d0, key, n_dists, n_dists_eff):
+        """Hill-climb from `seed` given its distance row `d0`; returns
+        (medoid, d, n_dists', n_dists_eff').
 
         Each step evaluates all sampled candidates in one (C,F)x(F,N)
         matmul; the jump target's distance row becomes the next medoid's
@@ -332,7 +359,6 @@ def _make_emit_batch(
         """
         N = matrixT.shape[1]
         iota = jnp.arange(N)
-        d0 = matvec(matrixT, seed)
         density0 = density_of(d0, lengths, kept)
         tried0 = jnp.zeros(N, bool).at[seed].set(True)
 
@@ -390,8 +416,8 @@ def _make_emit_batch(
             density0,
             tried0,
             key,
-            n_dists + N,
-            n_dists_eff + N,
+            n_dists,
+            n_dists_eff + N,  # the reference computes one matvec per seed
         )
         out = jax.lax.while_loop(cond, body, init)
         return out[1], out[2], out[6], out[7]
@@ -464,12 +490,29 @@ def _make_emit_batch(
             "One seed -> wander -> threshold -> (emit | reject) round."
             state, recs = carry
             seed = next_seed(state.kept, state.order_pos)
+
+            # serve the seed's distance row from the speculative cache; a
+            # row is valid iff its recorded seed id equals `seed`, so the
+            # cache can never alter a decision — on miss, refill with the
+            # next S seeds (one matmul, slot 0 = this seed)
+            def refill(st):
+                seeds = next_seeds_batch(st.kept, st.order_pos)
+                return st._replace(
+                    spec_seeds=seeds,
+                    spec_d=spec_batch(matrixT, seeds),
+                    n_dists=st.n_dists + jnp.float32(_SPEC_SEEDS) * N,
+                )
+
+            hit = jnp.any(state.spec_seeds == seed)
+            state = jax.lax.cond(hit, lambda st: st, refill, state)
+            slot = jnp.argmax(state.spec_seeds == seed)
+            d0 = state.spec_d[slot]
             state = state._replace(order_pos=seed + 1)
 
             key, sub = jax.random.split(state.key)
             state = state._replace(key=key)
             medoid, d, n_dists, n_dists_eff = wander(
-                matrixT, lengths, state.kept, seed, sub,
+                matrixT, lengths, state.kept, seed, d0, sub,
                 state.n_dists, state.n_dists_eff,
             )
             # histogram pass reuses the wander distances in the reference,
@@ -659,6 +702,8 @@ class ClusterGenerator:
             key=jax.random.PRNGKey(rng_seed),
             n_dists=jnp.float32(0),
             n_dists_eff=jnp.float32(0),
+            spec_seeds=put_repl(np.full(_SPEC_SEEDS, -1, np.int32)),
+            spec_d=put_cols(np.zeros((_SPEC_SEEDS, n_pad), np.float32)),
         )
         self._emit_batch = _make_emit_batch(
             n, windowsize, minsuccesses, min(maxsteps, n_pad), batch_clusters,
