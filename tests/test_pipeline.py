@@ -343,3 +343,42 @@ def test_taxonomy_benchmark_cli(dataset_dir, taxonomy_file, tmp_path):
     # kfold predictions aligned with composition identifiers
     lines = (out / "results_taxonomy_predicted_kfold.tsv").read_text().splitlines()
     assert len(lines) == N_CONTIGS + 1
+
+
+def test_avamb_minfasta_z_and_y_bins_share_dir_without_collision(
+    dataset_dir, tmp_path
+):
+    """--minfasta writes both z- and y-bin FASTAs into the same bins/
+    directory; the z_/y_ prefixes must keep the (binsplit) names disjoint
+    so neither set overwrites the other (round-1 weak item #8)."""
+    out = tmp_path / "avamb_fasta"
+    main(
+        [
+            "bin", "avamb",
+            "--outdir", str(out),
+            "--fasta", str(dataset_dir / "contigs.fna"),
+            "--abundance_tsv", str(dataset_dir / "abundance.tsv"),
+            "--e_aae", "3",
+            "--q_aae",
+            "--n_aae", "48",
+            "--z_aae", "8",
+            "--y_aae", "10",
+            "--seed", "6",
+            "--minfasta", "2000",
+        ]
+    )
+    bins = out / "bins"
+    assert bins.is_dir()
+    names = sorted(p.name for p in bins.iterdir())
+    assert len(names) == len(set(names))
+    z_bins = [n for n in names if "z_" in n]
+    y_bins = [n for n in names if "y_" in n]
+    assert z_bins and y_bins, names
+    assert len(z_bins) + len(y_bins) == len(names), names
+    # every bin FASTA is parseable and non-empty
+    from vamb_tpu.utils import byte_iterfasta
+
+    for name in names[:5]:
+        with open(bins / name, "rb") as f:
+            entries = list(byte_iterfasta(f, None))
+        assert entries
