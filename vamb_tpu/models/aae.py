@@ -224,6 +224,18 @@ class AAE:
             dec = {k: params[k] for k in dec_keys}
             return enc, dec
 
+        # re-shard each gathered batch across the mesh so devices split the
+        # compute (without this GSPMD replicates the batch; see
+        # models/vae.py:_make_epoch_fn)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            batch_sharding = NamedSharding(
+                mesh, PartitionSpec(mesh.axis_names[0])
+            )
+        else:
+            batch_sharding = None
+
         from functools import partial as _partial
 
         @_partial(jax.jit, static_argnames=("bs", "nb", "n_obs"), donate_argnums=(0,))
@@ -239,6 +251,9 @@ class AAE:
                 st_e, st_d, st_dz, st_dy = opts
                 key, k_eps, k_prior_z, k_prior_y, k_eps2 = jax.random.split(key, 5)
                 d_in, t_in = depths[idx], tnf[idx]
+                if batch_sharding is not None:
+                    d_in = jax.lax.with_sharding_constraint(d_in, batch_sharding)
+                    t_in = jax.lax.with_sharding_constraint(t_in, batch_sharding)
                 ones = jnp.ones((bs, 1))
                 zeros_t = jnp.zeros((bs, 1))
 

@@ -382,6 +382,18 @@ class VAEVAE:
         optimizer = optax.adam(1e-3, eps=1e-8)
         N_l = self.n_input_labels
 
+        # re-shard each gathered batch across the mesh so devices split the
+        # compute (without this GSPMD replicates the batch; see
+        # models/vae.py:_make_epoch_fn)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            batch_sharding = NamedSharding(
+                mesh, PartitionSpec(mesh.axis_names[0])
+            )
+        else:
+            batch_sharding = None
+
         from functools import partial as _partial
 
         @_partial(
@@ -397,9 +409,13 @@ class VAEVAE:
 
             def gather(idx):
                 onehot = jax.nn.one_hot(targets_i[idx], N_l, dtype=jnp.float32)
-                return (
-                    depths[idx], tnf[idx], ab[idx], weights[idx], onehot
-                )
+                batch = (depths[idx], tnf[idx], ab[idx], weights[idx], onehot)
+                if batch_sharding is not None:
+                    batch = tuple(
+                        jax.lax.with_sharding_constraint(a, batch_sharding)
+                        for a in batch
+                    )
+                return batch
 
             def step(carry, idx2):
                 params, bn_state, opt_state, key = carry
