@@ -1,0 +1,201 @@
+"""Tests for the Avamb ensemble post-processing (dereplication + ripping).
+
+Covers the decision stages of the reference's workflow_avamb Snakemake
+scripts (manual_drep_JN.py, rip_bins.py) with synthetic CheckM2 reports:
+quality gates, score-based duplicate removal, weakest-edge overlap ripping
+(shared contigs leave the larger bin), and the CLI subcommand end-to-end.
+"""
+
+import io
+import random
+
+import numpy as np
+import pytest
+
+from vamb_tpu.avamb_ensemble import (
+    BinQuality,
+    dereplicate,
+    ensemble_merge,
+    filter_by_quality,
+    read_checkm2_quality,
+    rip_overlaps,
+)
+
+LENGTHS = {f"C{i}": 100_000 for i in range(40)}
+
+
+def contigs(*idx):
+    return {f"C{i}" for i in idx}
+
+
+class TestQualityReport:
+    REPORT = (
+        "Name\tCompleteness\tContamination\tCompleteness_Model_Used\n"
+        "vae_1\t95.5\t2.0\tNeural Network\n"
+        "z_2\t45.0\t0.0\tNeural Network\n"
+        "y_3\t88.0\t12.5\tNeural Network\n"
+    )
+
+    def test_parse(self):
+        q = read_checkm2_quality(io.StringIO(self.REPORT))
+        assert q["vae_1"] == BinQuality(0.955, 0.02)
+        assert q["z_2"].completeness == 0.45
+        assert q["y_3"].contamination == 0.125
+
+    def test_score_rule(self):
+        "score = completeness - 5 * contamination (manual_drep_JN.py:223)."
+        assert BinQuality(0.9, 0.02).score == pytest.approx(0.8)
+
+    def test_bad_header(self):
+        with pytest.raises(ValueError, match="Name"):
+            read_checkm2_quality(io.StringIO("foo\tbar\n1\t2\n"))
+
+
+class TestFilterAndDereplicate:
+    def test_quality_and_size_gates(self):
+        bins = {"a": contigs(0, 1, 2), "b": contigs(3), "c": contigs(4, 5)}
+        q = {
+            "a": BinQuality(0.95, 0.01),
+            "b": BinQuality(0.95, 0.01),  # too small (1 contig < 250kb)
+            "c": BinQuality(0.50, 0.01),  # too incomplete
+        }
+        kept = filter_by_quality(bins, q, LENGTHS, 0.9, 0.05, 250_000)
+        assert set(kept) == {"a"}
+
+    def test_unscored_bin_raises(self):
+        with pytest.raises(ValueError, match="no entry"):
+            filter_by_quality(
+                {"a": contigs(0)}, {}, LENGTHS, 0.0, 1.0, 0
+            )
+
+    def test_duplicates_drop_lower_score(self):
+        bins = {
+            "good": contigs(0, 1, 2, 3),
+            "dup": contigs(0, 1, 2),  # 100% of dup inside good
+            "other": contigs(10, 11),
+        }
+        q = {
+            "good": BinQuality(0.95, 0.01),
+            "dup": BinQuality(0.80, 0.05),
+            "other": BinQuality(0.9, 0.0),
+        }
+        out = dereplicate(bins, q, LENGTHS, min_cov=0.75)
+        assert set(out) == {"good", "other"}
+
+    def test_low_overlap_keeps_both(self):
+        bins = {"a": contigs(0, 1, 2, 3), "b": contigs(3, 4, 5, 6)}
+        q = {"a": BinQuality(0.9, 0.0), "b": BinQuality(0.8, 0.0)}
+        out = dereplicate(bins, q, LENGTHS, min_cov=0.75)
+        assert set(out) == {"a", "b"}
+
+
+class TestRipOverlaps:
+    def test_shared_contigs_leave_larger_bin(self):
+        bins = {"big": contigs(0, 1, 2, 3, 4), "small": contigs(4, 5)}
+        out = rip_overlaps(bins, LENGTHS)
+        assert out["small"] == contigs(4, 5)
+        assert out["big"] == contigs(0, 1, 2, 3)
+
+    def test_output_is_disjoint_partition(self):
+        rng = random.Random(0)
+        bins = {
+            f"b{k}": {f"C{rng.randrange(40)}" for _ in range(8)}
+            for k in range(6)
+        }
+        out = rip_overlaps(bins, LENGTHS)
+        seen = set()
+        for members in out.values():
+            assert not (members & seen)
+            seen |= members
+        # every contig that was in some input bin is still binned somewhere
+        assert seen == set().union(*bins.values())
+
+    def test_empty_bins_dropped(self):
+        bins = {"a": contigs(0, 1), "b": contigs(0, 1)}
+        out = rip_overlaps(bins, LENGTHS)
+        assert len(out) == 1 and set().union(*out.values()) == contigs(0, 1)
+
+
+class TestEnsembleMerge:
+    def test_end_to_end(self):
+        vae = {"vae_1": contigs(0, 1, 2, 3), "vae_2": contigs(10, 11, 12)}
+        aae_z = {"z_1": contigs(0, 1, 2), "z_2": contigs(20, 21, 22)}
+        aae_y = {"y_1": contigs(20, 21, 22, 12)}
+        q = {
+            "vae_1": BinQuality(0.96, 0.01),
+            "vae_2": BinQuality(0.92, 0.02),
+            "z_1": BinQuality(0.70, 0.01),  # duplicate of vae_1, worse
+            "z_2": BinQuality(0.91, 0.00),
+            "y_1": BinQuality(0.85, 0.10),  # fails contamination gate
+        }
+        out = ensemble_merge(
+            [vae, aae_z, aae_y], q, LENGTHS,
+            min_completeness=0.9, max_contamination=0.05,
+            min_cov=0.75, min_bin_size=200_000,
+        )
+        assert set(out) == {"vae_1", "vae_2", "z_2"}
+        # disjoint
+        seen = set()
+        for members in out.values():
+            assert not (members & seen)
+            seen |= members
+
+    def test_duplicate_names_across_binnings_raise(self):
+        with pytest.raises(ValueError, match="Duplicate bin name"):
+            ensemble_merge(
+                [{"x": contigs(0)}, {"x": contigs(1)}],
+                {"x": BinQuality(1, 0)}, LENGTHS, min_bin_size=0,
+            )
+
+
+def test_cli_subcommand(tmp_path):
+    "avamb_ensemble end-to-end through the CLI."
+    import random as _random
+
+    from vamb_tpu.__main__ import main
+
+    rng = _random.Random(3)
+    names = [f"S1C{i}" for i in range(120)]
+    fasta = tmp_path / "contigs.fna"
+    with open(fasta, "w") as f:
+        for name in names:
+            f.write(f">{name}\n{''.join(rng.choices('ACGT', k=2500))}\n")
+
+    def write_clusters_tsv(path, bins):
+        with open(path, "w") as f:
+            f.write("clustername\tcontigname\n")
+            for bname, members in bins.items():
+                for m in members:
+                    f.write(f"{bname}\t{m}\n")
+
+    vae_bins = {"vae_1": names[0:50], "vae_2": names[50:100]}
+    z_bins = {"z_1": names[0:45], "z_2": names[95:120]}
+    write_clusters_tsv(tmp_path / "vae.tsv", vae_bins)
+    write_clusters_tsv(tmp_path / "z.tsv", z_bins)
+    with open(tmp_path / "quality_report.tsv", "w") as f:
+        f.write("Name\tCompleteness\tContamination\n")
+        f.write("vae_1\t95.0\t1.0\n")
+        f.write("vae_2\t92.0\t1.0\n")
+        f.write("z_1\t80.0\t2.0\n")  # duplicate of vae_1, worse
+        f.write("z_2\t93.0\t0.5\n")
+    out = tmp_path / "out"
+    main(
+        [
+            "avamb_ensemble",
+            "--outdir", str(out),
+            "--fasta", str(fasta),
+            "-m", "2000",
+            "--clusters", str(tmp_path / "vae.tsv"), str(tmp_path / "z.tsv"),
+            "--quality_report", str(tmp_path / "quality_report.tsv"),
+            "--min_bin_size", "50000",
+        ]
+    )
+    from vamb_tpu.utils import read_clusters
+
+    with open(out / "ensemble_clusters.tsv") as f:
+        merged = read_clusters(f)
+    assert set(merged) == {"vae_1", "vae_2", "z_2"}
+    seen = set()
+    for members in merged.values():
+        assert not (members & seen)
+        seen |= set(members)

@@ -559,6 +559,50 @@ Required arguments:
     add_predictor_arguments(recluster_parser)
     add_taxonomy_arguments(recluster_parser)
 
+    ensemble_parser = subparsers.add_parser(
+        "avamb_ensemble",
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+        help="merge CheckM2-scored binnings into one non-overlapping bin set",
+        add_help=False,
+        usage="%(prog)s [options]",
+        description="""Merge multiple binnings (e.g. Avamb's vae/z/y cluster files) into one
+non-redundant, non-overlapping bin set using CheckM2 scores: quality
+filtering, score-based dereplication of near-duplicate bins, and overlap
+ripping (the decision stages of the reference's workflow_avamb Snakemake;
+mapping/CheckM2 themselves run externally).
+
+Required arguments: outdir, a composition input, >=1 cluster TSVs, and a
+CheckM2 quality_report.tsv scoring every bin name.""",
+    )
+    add_general_arguments(ensemble_parser)
+    add_composition_arguments(ensemble_parser)
+    ens = ensemble_parser.add_argument_group(title="Ensemble input/output")
+    ens.add_argument(
+        "--clusters", metavar="", type=Path, nargs="+",
+        help="Paths to cluster TSV files (bin names must be unique across files)",
+    )
+    ens.add_argument(
+        "--quality_report", metavar="", type=Path,
+        help="CheckM2 quality_report.tsv covering every input bin",
+    )
+    ens.add_argument(
+        "--min_completeness", metavar="", type=float, default=0.9,
+        help="Min completeness (0-1) to keep a bin [0.9]",
+    )
+    ens.add_argument(
+        "--max_contamination", metavar="", type=float, default=0.05,
+        help="Max contamination (0-) to keep a bin [0.05]",
+    )
+    ens.add_argument(
+        "--min_cov", metavar="", type=float, default=0.75,
+        help="Overlap fraction of the smaller bin at which two bins are "
+        "duplicates [0.75]",
+    )
+    ens.add_argument(
+        "--min_bin_size", metavar="", type=int, default=200_000,
+        help="Min bin size in bp to enter dereplication [200000]",
+    )
+
     args = parser.parse_args(args_in)
 
     if args.subcommand == "bin":
@@ -723,6 +767,37 @@ Required arguments:
             taxometer=taxometer,
         )
         run(partial(run_reclustering, opt), general)
+    elif args.subcommand == "avamb_ensemble":
+        from .avamb_ensemble import run_ensemble_files
+        from .pipeline import calc_tnf
+
+        if not args.clusters:
+            raise ValueError("avamb_ensemble requires --clusters")
+        if args.quality_report is None:
+            raise ValueError("avamb_ensemble requires --quality_report")
+        general = _general_options_from_args(args)
+        comp_options = _comp_options_from_args(args)
+
+        from .utils import BinSplitter as _BinSplitter
+
+        def _run_ensemble():
+            composition = calc_tnf(
+                comp_options, args.minlength, general.outdir,
+                _BinSplitter.inert_splitter(),
+            )
+            run_ensemble_files(
+                general.outdir.joinpath("ensemble_clusters.tsv"),
+                args.clusters,
+                args.quality_report,
+                list(composition.metadata.identifiers),
+                composition.metadata.lengths,
+                min_completeness=args.min_completeness,
+                max_contamination=args.max_contamination,
+                min_cov=args.min_cov,
+                min_bin_size=args.min_bin_size,
+            )
+
+        run(_run_ensemble, general)
     else:
         parser.print_help()
         sys.exit(1)
