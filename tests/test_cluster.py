@@ -189,3 +189,42 @@ class TestFindThresholdVectorized:
             if seq_found:
                 np.testing.assert_allclose(vec_thr, seq_thr, atol=1e-6)
                 np.testing.assert_allclose(vec_opvr, seq_opvr, rtol=1e-5)
+
+
+class TestBf16DistancePath:
+    """The opt-in bfloat16 distance mode halves HBM traffic at ~1e-3
+    distance error (bins are 5e-3 wide). It must still emit a full
+    partition and agree with f32 on the overwhelming majority of
+    memberships on well-separated data."""
+
+    def test_bf16_partition_and_agreement(self):
+        rng = np.random.default_rng(8)
+        centers = rng.normal(size=(20, 24)).astype(np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        matrix = np.concatenate(
+            [c + rng.normal(scale=0.03, size=(30, 24)) for c in centers]
+        ).astype(np.float32)
+        lengths = rng.integers(2000, 9000, len(matrix)).astype(np.float32)
+
+        f32 = list(ClusterGenerator(matrix.copy(), lengths, rng_seed=2))
+        bf16 = list(
+            ClusterGenerator(
+                matrix.copy(), lengths, rng_seed=2, distance_dtype="bfloat16"
+            )
+        )
+        members_bf = np.sort(np.concatenate([c.members for c in bf16]))
+        np.testing.assert_array_equal(members_bf, np.arange(len(matrix)))
+
+        def labelize(clusters):
+            lab = np.empty(len(matrix), np.int32)
+            for i, c in enumerate(clusters):
+                lab[np.asarray(c.members)] = i
+            return lab
+
+        la, lb = labelize(f32), labelize(bf16)
+        # pairwise co-membership agreement on a sample of pairs
+        idx = rng.integers(0, len(matrix), (4000, 2))
+        same_a = la[idx[:, 0]] == la[idx[:, 1]]
+        same_b = lb[idx[:, 0]] == lb[idx[:, 1]]
+        agreement = float(np.mean(same_a == same_b))
+        assert agreement > 0.95, agreement

@@ -256,6 +256,11 @@ def add_clustering_arguments(subparser):
         "-c", dest="max_clusters", metavar="", type=int, default=None,
         help=argparse.SUPPRESS,
     )
+    clusto.add_argument(
+        "--distance_dtype", metavar="", type=str, default="float32",
+        choices=["float32", "bfloat16"],
+        help=argparse.SUPPRESS,
+    )
     return subparser
 
 
@@ -369,6 +374,7 @@ def _cluster_options_from_args(args):
         window_size=args.window_size,
         min_successes=args.min_successes,
         max_clusters=args.max_clusters,
+        distance_dtype=args.distance_dtype,
     )
 
 

@@ -125,6 +125,9 @@ class ClusterOptions:
     window_size: int = 300
     min_successes: int = 15
     max_clusters: Optional[int] = None
+    # TPU-build extension: "bfloat16" halves distance-sweep HBM traffic at
+    # ~1e-3 distance error (see tests/test_cluster.py bf16 agreement test)
+    distance_dtype: str = "float32"
 
 
 @dataclass
@@ -332,6 +335,7 @@ def cluster_and_write_files(
         normalized=False,
         rng_seed=seed,
         mesh=default_mesh(),
+        distance_dtype=cluster_options.distance_dtype,
     )
     clusters = itertools.islice(generator, cluster_options.max_clusters)
 
