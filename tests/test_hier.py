@@ -14,6 +14,7 @@ Tree used throughout (indices in BFS order):
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from vamb_tpu.models import hier
@@ -249,3 +250,120 @@ class TestTreeUtilities:
         np.testing.assert_allclose(m.recall(gt, pr), [1 / 3])
         np.testing.assert_allclose(m.precision(gt, pr), [1 / 2])
         np.testing.assert_allclose(m.f1(gt, pr), [0.4])
+
+
+class TestTreeConstructionIO:
+    def test_make_hierarchy_from_edges(self):
+        from vamb_tpu.models.hier import make_hierarchy_from_edges
+
+        tree, names = make_hierarchy_from_edges(
+            [("root", "a"), ("root", "b"), ("a", "c"), ("a", "d")]
+        )
+        assert names == ["root", "a", "b", "c", "d"]
+        assert tree.parents().tolist() == [-1, 0, 0, 1, 1]
+
+    def test_multiple_parents_rejected(self):
+        from vamb_tpu.models.hier import make_hierarchy_from_edges
+
+        with pytest.raises(ValueError, match="multiple parents"):
+            make_hierarchy_from_edges([("root", "a"), ("root", "b"), ("b", "a")])
+
+    def test_load_edges(self):
+        import io as _io
+
+        from vamb_tpu.models.hier import load_edges, make_hierarchy_from_edges
+
+        pairs = load_edges(_io.StringIO("root,a\na,b\n\nroot,c\n"))
+        assert pairs == [("root", "a"), ("a", "b"), ("root", "c")]
+        tree, names = make_hierarchy_from_edges(pairs)
+        assert names == ["root", "a", "b", "c"]
+        assert tree.parents().tolist() == [-1, 0, 1, 0]
+        with pytest.raises(ValueError, match="2 columns"):
+            load_edges(_io.StringIO("a,b,c\n"))
+
+
+class TestLcaUtilities:
+    def tree(self):
+        # root(0) -> a(1), b(2); a -> c(3), d(4); c -> e(5)
+        return hier.Hierarchy(np.array([-1, 0, 0, 1, 1, 3]))
+
+    def test_lca_depth(self):
+        from vamb_tpu.models.hier import lca_depth
+
+        t = self.tree()
+        assert lca_depth(t, np.array([5]), np.array([4]))[0] == 1  # lca = a
+        assert lca_depth(t, np.array([5]), np.array([2]))[0] == 0  # lca = root
+        assert lca_depth(t, np.array([5]), np.array([5]))[0] == 3  # itself
+
+    def test_truncate_given_lca(self):
+        from vamb_tpu.models.hier import truncate_given_lca
+
+        gt = np.array([3, 3])
+        pr = np.array([5, 2])
+        lca = np.array([3, 0])  # pred 5 descends from gt 3; pred 2 does not
+        np.testing.assert_array_equal(
+            truncate_given_lca(gt, pr, lca), np.array([3, 2])
+        )
+
+    def test_arglexmin(self):
+        from vamb_tpu.models.hier import arglexmin, arglexmin_where
+
+        primary = np.array([3, 1, 1, 2])
+        tiebreak = np.array([0, 2, 1, 0])
+        # lexsort: last key is primary
+        assert int(arglexmin((tiebreak, primary))) == 2
+        ok = np.array([True, True, False, True])
+        assert int(arglexmin_where((tiebreak, primary), ok)) == 1
+
+
+class TestMultilabelAndRandomCut:
+    def test_multilabel_log_likelihood(self):
+        from vamb_tpu.models.hier import multilabel_log_likelihood
+
+        scores = jnp.asarray([[0.0, 2.0, -1.0]])
+        out = np.asarray(multilabel_log_likelihood(scores))
+        expect = np.log(1 / (1 + np.exp(-np.array([0.0, 2.0, -1.0]))))
+        np.testing.assert_allclose(out[0], expect, rtol=1e-6)
+        rooted = np.asarray(
+            multilabel_log_likelihood(scores, insert_root=True)
+        )
+        assert rooted.shape == (1, 4) and rooted[0, 0] == 0.0
+        replaced = np.asarray(
+            multilabel_log_likelihood(scores, replace_root=True)
+        )
+        assert replaced.shape == (1, 3) and replaced[0, 0] == 0.0
+
+    def tree(self):
+        return hier.Hierarchy(np.array([-1, 0, 0, 1, 1]))  # leaves: 2(b), 3, 4
+
+    def test_random_cut_prob_zero_keeps_leaves(self):
+        from vamb_tpu.models.hier import RandomCut
+
+        cut = RandomCut(self.tree(), cut_prob=0.0)
+        mask = np.asarray(cut(jax.random.key(0), ()))
+        np.testing.assert_array_equal(mask, self.tree().leaf_mask())
+
+    def test_random_cut_prob_one_stops_below_root(self):
+        from vamb_tpu.models.hier import RandomCut
+
+        cut = RandomCut(self.tree(), cut_prob=1.0)
+        mask = np.asarray(cut(jax.random.key(0), ()))
+        # every non-root node severed -> the cut's leaves are root's children
+        np.testing.assert_array_equal(mask, [False, True, True, False, False])
+
+    def test_random_cut_loss_matches_leaf_ce_at_prob_zero(self):
+        from vamb_tpu.models.hier import RandomCutLoss
+
+        tree = self.tree()
+        loss_fn = RandomCutLoss(tree, cut_prob=0.0)
+        rng = np.random.default_rng(0)
+        scores = jnp.asarray(rng.normal(size=(6, 5)).astype(np.float32))
+        labels_leaf = rng.integers(0, 3, 6)  # index into leaf order [2, 3, 4]
+        onehot = jax.nn.one_hot(labels_leaf, 3)
+        loss = float(loss_fn(scores, onehot, jax.random.key(1)))
+        # with no cut, this is plain softmax CE over the leaf columns
+        leaf_cols = np.asarray(tree.leaf_subset())
+        leaf_scores = np.asarray(scores)[:, leaf_cols]
+        lse = np.log(np.exp(leaf_scores).sum(axis=1))
+        expect = float(np.mean(lse - leaf_scores[np.arange(6), labels_leaf]))
+        assert abs(loss - expect) < 1e-5

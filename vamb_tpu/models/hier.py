@@ -615,3 +615,166 @@ class LCAMetric:
         p = self.precision(gt, pr)
         with np.errstate(divide="ignore"):
             return 2 / (1 / r + 1 / p)
+
+
+# ----------------------------------------------------- tree construction IO
+
+
+def make_hierarchy_from_edges(
+    pairs: Sequence[tuple[str, str]],
+) -> tuple[Hierarchy, list[str]]:
+    """Build a Hierarchy from (parent, child) name pairs.
+
+    The root is the first pair's parent; every other node must appear
+    exactly once as a child, and edges must come parent-first so the node
+    numbering (edge order + 1) is topologically sorted
+    (hloss_misc.py:167-195 contract).
+    """
+    if not pairs:
+        raise ValueError("need at least one edge")
+    root = pairs[0][0]
+    index_of = {root: 0}
+    names = [root]
+    parents = [-1]
+    for parent, child in pairs:
+        if child in index_of:
+            raise ValueError(f'node "{child}" has multiple parents')
+        if parent not in index_of:
+            raise ValueError(f'parent "{parent}" seen before being defined')
+        index_of[child] = len(names)
+        parents.append(index_of[parent])
+        names.append(child)
+    return Hierarchy(np.asarray(parents)), names
+
+
+def load_edges(f, delimiter: str = ",") -> list[tuple[str, str]]:
+    "Read (parent, child) rows from a delimited text stream."
+    import csv
+
+    pairs: list[tuple[str, str]] = []
+    for row in csv.reader(f, delimiter=delimiter):
+        if not row:
+            continue
+        if len(row) != 2:
+            raise ValueError(f"expected 2 columns, got {row}")
+        pairs.append((row[0], row[1]))
+    return pairs
+
+
+# ---------------------------------------------------------- LCA utilities
+
+
+def lca_depth(tree: Hierarchy, inds_a: np.ndarray, inds_b: np.ndarray) -> np.ndarray:
+    "Depth of the lowest common ancestor (root = depth 0); broadcasts."
+    paths = tree.paths_padded(exclude_root=True)
+    shared = (
+        (paths[inds_a] == paths[inds_b]) & (paths[inds_a] >= 0) & (paths[inds_b] >= 0)
+    )
+    return np.count_nonzero(shared, axis=-1)
+
+
+def truncate_given_lca(gt: np.ndarray, pr: np.ndarray, lca: np.ndarray) -> np.ndarray:
+    "Replace predictions that descend from the ground truth by the truth itself."
+    return np.where(gt == lca, gt, pr)
+
+
+def arglexmin(keys: tuple, axis: int = -1) -> np.ndarray:
+    "Index of the lexicographic minimum over `axis` (last key is primary)."
+    return np.take(np.lexsort(keys, axis=axis), 0, axis=axis)
+
+
+def arglexmin_where(
+    keys: tuple, condition: np.ndarray, axis: int = -1, keepdims: bool = False
+) -> np.ndarray:
+    "Lexicographic argmin restricted to elements where `condition` holds."
+    if not np.all(np.any(condition, axis=axis)):
+        raise ValueError("need at least one valid element along the axis")
+    order = np.lexsort(keys, axis=axis)
+    ordered_ok = np.take_along_axis(condition, order, axis=axis)
+    first = np.expand_dims(np.argmax(ordered_ok, axis=axis), axis)
+    result = np.take_along_axis(order, first, axis=axis)
+    return result if keepdims else np.squeeze(result, axis=axis)
+
+
+# ------------------------------------------- multilabel / random-cut losses
+
+
+def multilabel_log_likelihood(
+    scores: jax.Array,
+    insert_root: bool = False,
+    replace_root: bool = False,
+    temperature: Optional[float] = None,
+) -> jax.Array:
+    """Per-node independent log-likelihoods log sigmoid(score / T) over the
+    last axis, with the root optionally prepended or pinned to logp = 0
+    (hloss_misc.py:843-862)."""
+    if insert_root and replace_root:
+        raise ValueError("insert_root and replace_root are exclusive")
+    if temperature:
+        scores = scores / temperature
+    logp = jax.nn.log_sigmoid(scores)
+    zero = jnp.zeros((*logp.shape[:-1], 1), logp.dtype)
+    if insert_root:
+        return jnp.concatenate([zero, logp], axis=-1)
+    if replace_root:
+        return jnp.concatenate([zero, logp[..., 1:]], axis=-1)
+    return logp
+
+
+class RandomCut:
+    """Sample random tree cuts: walking down from the root, each node is
+    severed with probability `cut_prob`; the result is a boolean mask over
+    nodes marking the leaf frontier of the surviving subtree
+    (hloss_misc.py:865-909, "Deep RTC", Wu et al. 2020).
+    """
+
+    def __init__(self, tree: Hierarchy, cut_prob: float, permit_root_cut: bool = False):
+        self.n = tree.num_nodes()
+        self.cut_prob = cut_prob
+        self.permit_root_cut = permit_root_cut
+        self.sum_ancestors = SumAncestors(tree)  # includes the node itself
+        self.parent_loop = jnp.asarray(tree.parents(root_loop=True))
+        # child-count matrix: counts[..., p] = number of kept children of p
+        counts = np.zeros((self.n - 1, self.n), np.float32)
+        counts[np.arange(1, self.n) - 1, tree.parents()[1:]] = 1.0
+        self._child_counts = jnp.asarray(counts)
+
+    def __call__(self, key: jax.Array, batch_shape: tuple = ()) -> jax.Array:
+        drop = jax.random.bernoulli(
+            key, self.cut_prob, (*batch_shape, self.n)
+        ).astype(jnp.float32)
+        if not self.permit_root_cut:
+            drop = drop.at[..., 0].set(0.0)
+        # a node survives if no ancestor (nor itself) was severed
+        alive = self.sum_ancestors(drop) == 0
+        # the cut keeps every surviving node plus the direct children of
+        # surviving nodes (the severed frontier)
+        in_cut = alive[..., self.parent_loop].at[..., 0].set(True)
+        kept_children = jnp.dot(
+            in_cut[..., 1:].astype(jnp.float32), self._child_counts,
+            preferred_element_type=jnp.float32,
+        )
+        return in_cut & (kept_children == 0)
+
+
+class RandomCutLoss:
+    """Cross-entropy over the leaves of a random cut (hloss_misc.py:912-962).
+
+    `labels` are leaf one-hots; the target inside the cut is the unique cut
+    node that is an ancestor-or-self of the labeled leaf.
+    """
+
+    def __init__(self, tree: Hierarchy, cut_prob: float, permit_root_cut: bool = False):
+        self.random_cut = RandomCut(tree, cut_prob, permit_root_cut)
+        targets = tree.ancestor_mask(strict=False).T[tree.leaf_subset()]
+        self.label_to_targets = jnp.asarray(targets)
+
+    def __call__(self, scores: jax.Array, labels: jax.Array, key: jax.Array) -> jax.Array:
+        label_idx = jnp.argmax(labels, axis=-1)
+        cut = self.random_cut(key, scores.shape[:-1])
+        targets = self.label_to_targets[label_idx]
+        cut, targets, scores = cut[..., 1:], targets[..., 1:], scores[..., 1:]
+        on_target = cut & targets
+        pos = jnp.sum(jnp.where(on_target, scores, 0.0), axis=-1)
+        lse = jax.nn.logsumexp(jnp.where(cut, scores, -jnp.inf), axis=-1)
+        return jnp.mean(lse - pos)
