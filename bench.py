@@ -160,12 +160,42 @@ def bench_clustering() -> tuple[float, dict]:
         f"{emitted / elapsed:.1f} clusters/s",
         file=sys.stderr,
     )
-    return rate, {
+    metrics = {
         "cluster_raw_dists_per_s_1M": rate,
         "cluster_effective_dists_per_s_1M": eff_rate,
         "cluster_clusters_per_s_1M": emitted / elapsed,
         "cluster_wall_s_150_clusters_1M": elapsed,
     }
+
+    # opt-in bfloat16 distance mode (halves sweep HBM traffic; ~1e-3
+    # distance error): measured as headroom, not the headline — the
+    # default engine stays f32 for bin-boundary exactness
+    gen16 = vc.ClusterGenerator(
+        centers[assignment] + 0.05 * rng.standard_normal((N, D)).astype(np.float32),
+        lengths,
+        destroy=True,
+        distance_dtype="bfloat16",
+    )
+    it16 = iter(gen16)
+    for _ in range(WARMUP_CLUSTERS):
+        next(it16)
+    d0, t0 = gen16.n_dists, time.time()
+    emitted16 = 0
+    for _ in range(N_CLUSTERS):
+        try:
+            next(it16)
+        except StopIteration:
+            break
+        emitted16 += 1
+    dt16 = time.time() - t0
+    rate16 = (gen16.n_dists - d0) / dt16
+    print(
+        f"[bench] clustering bf16: {emitted16} clusters in {dt16:.2f}s "
+        f"-> {rate16:.3g} raw dists/s",
+        file=sys.stderr,
+    )
+    metrics["cluster_raw_dists_per_s_1M_bf16_optin"] = rate16
+    return rate, metrics
 
 
 def bench_pallas_ab() -> None:

@@ -34,6 +34,10 @@ TPU-first architecture (a re-design, not a port):
   ONE (C,F)x(F,N) matmul, and the jump target's distance row is reused as
   the next medoid's distances — the reference instead does one matvec per
   candidate with a 64-entry LRU cache (cluster.py:606-637).
+* **Speculative seed cache.** Distance rows for the next 8 seeds of the
+  cycling scan are computed in one matmul and served to later attempts on
+  exact seed-id match (see _SPEC_SEEDS), amortizing the per-attempt seed
+  sweep in rejection-heavy phases without touching any decision.
 * **Masking, never packing**: clustered points are masked out of every
   reduction; shapes are static for the life of the run, so exactly one
   compiled program is used regardless of dataset size.
