@@ -203,9 +203,15 @@ class VAE:
         w_ce = ce * ce_weight
         w_sse = sse * sse_weight
         w_kld = kld * kld_weight
-        loss = (w_ce + w_ab + w_sse + w_kld) * weights[:, 0]
+        # Reference-exact semantics (encode.py:349-351): the reference
+        # multiplies the (B,) per-contig loss by the (B,1) weights column,
+        # which broadcasts to (B,B), so its .mean() degenerates to
+        # mean(loss) * mean(batch weights) — the per-contig length
+        # weighting does NOT weight individual contigs. Reproduced here
+        # because training dynamics (and therefore bins) depend on it.
+        loss = jnp.mean(w_ce + w_ab + w_sse + w_kld) * jnp.mean(weights[:, 0])
         return (
-            jnp.mean(loss),
+            loss,
             jnp.mean(w_ab),
             jnp.mean(w_ce),
             jnp.mean(w_sse),

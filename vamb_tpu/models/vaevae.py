@@ -237,10 +237,13 @@ class VAEVAE:
         ab_w = (1 - self.alpha) / self.nsamples
         sse_w = self.alpha / self.ntnf
         kld_w = 1 / (self.nlatent * self.beta)
-        loss = (
+        # reference-exact: (B,) loss x (B,1) weights broadcasts to (B,B) in
+        # the reference (semisupervised_encode.py:558), so its mean equals
+        # mean(loss) * mean(weights) — see models/vae.py calc_loss
+        loss = jnp.mean(
             ce * ce_weight + ab_sse * ab_w + sse * sse_w + kld * kld_w
-        ) * weights[:, 0]
-        return jnp.mean(loss), jnp.mean(ce), jnp.mean(sse), jnp.mean(kld)
+        ) * jnp.mean(weights[:, 0])
+        return loss, jnp.mean(ce), jnp.mean(sse), jnp.mean(kld)
 
     # ------------------------------------------------------------- forward
 
@@ -325,9 +328,11 @@ class VAEVAE:
         kld_vamb_j = kld_gauss(mu_sup, zeros, mu_vamb_s, zeros)
         kld_lab_j = kld_gauss(mu_sup, zeros, mu_lab_s, zeros)
         rec_j = ce_j * ce_weight + ab_sse_j * ab_w + sse_j * sse_w + ce_labels_j
+        # reference-exact degenerate weighting (semisupervised_encode.py:815;
+        # see models/vae.py calc_loss)
         loss_joint = jnp.mean(
-            (rec_j + (kld_vamb_j + kld_lab_j) * kld_w) * w_s[:, 0]
-        )
+            rec_j + (kld_vamb_j + kld_lab_j) * kld_w
+        ) * jnp.mean(w_s[:, 0])
 
         total = loss_joint + loss_vamb + loss_labels
 
