@@ -245,6 +245,58 @@ class VAEVAE:
         ) * jnp.mean(weights[:, 0])
         return loss, jnp.mean(ce), jnp.mean(sse), jnp.mean(kld)
 
+    def calc_loss_labels(self, logits, onehot, mu):
+        """Labels-only sub-VAE loss (reference VAELabels.calc_loss,
+        semisupervised_encode.py:248-257): label CE plus mu-only KLD
+        (logsigma is identically zero in the fixed-noise latent)."""
+        ce_lab = self._label_ce(logits, onehot)
+        kld_lab = 0.5 * jnp.mean(jnp.sum(jnp.square(mu), axis=1))
+        kld_w = 1 / (self.nlatent * self.beta)
+        return ce_lab + kld_lab * kld_w, ce_lab, kld_lab
+
+    def calc_loss_joint(
+        self,
+        depths_in,
+        d_out,
+        tnf_in,
+        t_out,
+        ab_in,
+        a_out,
+        labels_logits,
+        labels_onehot,
+        mu_sup,
+        mu_vamb_unsup,
+        mu_labels_unsup,
+        weights,
+    ):
+        """Joint sub-VAE loss (reference VAEVAE.calc_loss_joint,
+        semisupervised_encode.py:762-827): the 3-term feature
+        reconstruction, label CE, and symmetric-pair kld_gauss terms
+        against the two single-modality posteriors (logsigmas are zero).
+        The per-contig weights enter via the reference's degenerate (B,B)
+        broadcast, whose mean factorizes (see models/vae.py calc_loss)."""
+        ab_sse_j = jnp.sum(jnp.square(a_out - ab_in), axis=1)
+        ce_j = -jnp.sum(jnp.log(d_out + 1e-9) * depths_in, axis=1)
+        sse_j = jnp.sum(jnp.square(t_out - tnf_in), axis=1)
+        if self.nsamples == 1:
+            ce_weight = 0.0
+        else:
+            ce_weight = ((1 - self.alpha) * (self.nsamples - 1)) / (
+                self.nsamples * np.log(self.nsamples)
+            )
+        ab_w = (1 - self.alpha) / self.nsamples
+        sse_w = self.alpha / self.ntnf
+        kld_w = 1 / (self.nlatent * self.beta)
+        ce_labels_j = self._label_ce(labels_logits, labels_onehot)
+        zeros = jnp.zeros_like(mu_sup)
+        kld_vamb_j = kld_gauss(mu_sup, zeros, mu_vamb_unsup, zeros)
+        kld_lab_j = kld_gauss(mu_sup, zeros, mu_labels_unsup, zeros)
+        rec_j = ce_j * ce_weight + ab_sse_j * ab_w + sse_j * sse_w + ce_labels_j
+        loss = jnp.mean(
+            rec_j + (kld_vamb_j + kld_lab_j) * kld_w
+        ) * jnp.mean(weights[:, 0])
+        return loss, jnp.mean(ce_j), jnp.mean(sse_j), ce_labels_j, kld_vamb_j, kld_lab_j
+
     # ------------------------------------------------------------- forward
 
     def _step_losses(self, params, bn_state, sup, unsup, key):
@@ -306,33 +358,11 @@ class VAEVAE:
         loss_vamb, ce_vamb, sse_vamb, kld_vamb = self._vamb_loss(
             d_u, d_ou, t_u, t_ou, a_u, a_ou, mu_vamb_u, w_u
         )
-        ce_lab = self._label_ce(y_logits_u, y_u)
-        kld_lab = 0.5 * jnp.mean(jnp.sum(jnp.square(mu_lab_u), axis=1))
-        kld_w = 1 / (self.nlatent * self.beta)
-        loss_labels = ce_lab + kld_lab * kld_w
-
-        # joint loss (calc_loss_joint, :762-827)
-        ab_sse_j = jnp.sum(jnp.square(a_os - a_s), axis=1)
-        ce_j = -jnp.sum(jnp.log(d_os + 1e-9) * d_s, axis=1)
-        sse_j = jnp.sum(jnp.square(t_os - t_s), axis=1)
-        if self.nsamples == 1:
-            ce_weight = 0.0
-        else:
-            ce_weight = ((1 - self.alpha) * (self.nsamples - 1)) / (
-                self.nsamples * np.log(self.nsamples)
-            )
-        ab_w = (1 - self.alpha) / self.nsamples
-        sse_w = self.alpha / self.ntnf
-        ce_labels_j = self._label_ce(y_logits_sup, y_s)
-        zeros = jnp.zeros_like(mu_sup)
-        kld_vamb_j = kld_gauss(mu_sup, zeros, mu_vamb_s, zeros)
-        kld_lab_j = kld_gauss(mu_sup, zeros, mu_lab_s, zeros)
-        rec_j = ce_j * ce_weight + ab_sse_j * ab_w + sse_j * sse_w + ce_labels_j
-        # reference-exact degenerate weighting (semisupervised_encode.py:815;
-        # see models/vae.py calc_loss)
-        loss_joint = jnp.mean(
-            rec_j + (kld_vamb_j + kld_lab_j) * kld_w
-        ) * jnp.mean(w_s[:, 0])
+        loss_labels, ce_lab, kld_lab = self.calc_loss_labels(y_logits_u, y_u, mu_lab_u)
+        loss_joint, _, _, ce_labels_j, _, _ = self.calc_loss_joint(
+            d_s, d_os, t_s, t_os, a_s, a_os, y_logits_sup, y_s,
+            mu_sup, mu_vamb_s, mu_lab_s, w_s,
+        )
 
         total = loss_joint + loss_vamb + loss_labels
 
