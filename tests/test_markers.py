@@ -158,7 +158,8 @@ class TestSubprocessBackendParsing:
         # merged TIGR pair maps to the same ID; unknown HMMs are dropped
         assert per_contig["S2C4"] == {0}
 
-    def test_select_backend_error_when_nothing_available(self, monkeypatch):
+    def test_select_backend_native_fallback(self, monkeypatch):
+        "With no pyhmmer libs and no binaries, the built-in backend is used."
         import vamb_tpu.markers as m
 
         monkeypatch.setattr(shutil, "which", lambda _: None)
@@ -170,8 +171,7 @@ class TestSubprocessBackendParsing:
             pytest.skip("pyhmmer installed")
         except ImportError:
             pass
-        with pytest.raises(ImportError, match="prodigal"):
-            select_backend()
+        assert isinstance(select_backend(), m.NativeBackend)
 
 
 def test_cap_processes():

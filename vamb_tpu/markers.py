@@ -5,10 +5,12 @@ save/load, bin scoring, marker-name normalization and round-robin FASTA
 splitting are fully implemented. Gene prediction is pluggable: the
 `PyhmmerBackend` uses the pyrodigal/pyhmmer libraries (the reference's own
 dependencies) when importable, the `SubprocessBackend` shells out to the
-`prodigal` + `hmmsearch` executables when those are on PATH, and tests
-inject fake backends to exercise the split/pool/assembly orchestration
-without any native dependency. Precomputed markers (`--markers
-markers.npz`) always work.
+`prodigal` + `hmmsearch` executables when those are on PATH, and the
+self-contained `NativeBackend` (built-in ORF caller + TPU-batched
+profile-HMM Forward scoring, ops/orf.py + ops/hmm.py) always works.
+Tests additionally inject fake backends to exercise the
+split/pool/assembly orchestration in isolation. Precomputed markers
+(`--markers markers.npz`) skip prediction entirely.
 """
 
 import contextlib
@@ -142,6 +144,10 @@ class Markers:
         n_processes = cap_processes(n_processes)
         marker_names = backend.marker_names(hmm_path)
 
+        # Device-batched backends replace process parallelism with one big
+        # batched dispatch; don't shard the FASTA for them.
+        if getattr(backend, "in_process", False):
+            n_processes = 1
         refhash, paths = split_file(contigs, contignames, tmpdir_to_create, n_processes)
         if target_refhash is not None:
             RefHasher.verify_refhash(
@@ -150,12 +156,18 @@ class Markers:
 
         index_of_name = {n: i for (i, n) in enumerate(contignames)}
         marker_list: list[Optional[np.ndarray]] = [None] * len(contignames)
-        with Pool(n_processes) as pool:
-            for sub_result in pool.imap_unordered(
-                _predict_one_file, [(backend, p, hmm_path) for p in paths]
-            ):
-                for contig_name, markers in sub_result:
-                    marker_list[index_of_name[contig_name]] = markers
+        if getattr(backend, "in_process", False):
+            sub_results = [backend.predict_file(p, hmm_path) for p in paths]
+        else:
+            with Pool(n_processes) as pool:
+                sub_results = list(
+                    pool.imap_unordered(
+                        _predict_one_file, [(backend, p, hmm_path) for p in paths]
+                    )
+                )
+        for sub_result in sub_results:
+            for contig_name, markers in sub_result:
+                marker_list[index_of_name[contig_name]] = markers
         shutil.rmtree(tmpdir_to_create)
         return cls(marker_list, marker_names, refhash)
 
@@ -247,7 +259,7 @@ class PredictorBackend:
 
 
 def select_backend() -> PredictorBackend:
-    "Pick the best available backend; raise with guidance when none is."
+    "Pick the best available backend; the built-in one is the fallback."
     try:
         import pyhmmer  # noqa: F401
         import pyrodigal  # noqa: F401
@@ -257,12 +269,11 @@ def select_backend() -> PredictorBackend:
         pass
     if shutil.which("prodigal") and shutil.which("hmmsearch"):
         return SubprocessBackend()
-    raise ImportError(
-        "Marker prediction needs either the 'pyrodigal' + 'pyhmmer' Python "
-        "packages or the 'prodigal' + 'hmmsearch' executables on PATH; "
-        "none were found. Precomputed markers can be supplied with "
-        "--markers instead."
+    logger.info(
+        "\tpyrodigal/pyhmmer and the prodigal/hmmsearch executables are all "
+        "absent; using the built-in TPU-batched ORF + profile-HMM backend"
     )
+    return NativeBackend()
 
 
 class PyhmmerBackend(PredictorBackend):
@@ -317,6 +328,65 @@ class PyhmmerBackend(PredictorBackend):
             for hit in top_hits:
                 if hit.score >= score_cutoff:
                     markers[hit.name.decode()].add(marker_id)
+        return [
+            (name, np.array(sorted(ids), dtype=np.uint8))
+            for (name, ids) in markers.items()
+        ]
+
+
+class NativeBackend(PredictorBackend):
+    """Fully self-contained prediction: built-in ORF caller + JAX profile HMMs.
+
+    The prodigal role is filled by `ops.orf.find_genes` (six-frame
+    candidate-ORF enumeration, table-11 translation) and the
+    pyhmmer/hmmsearch role by `ops.hmm` (HMMER3 flat-file parsing, the
+    multihit-local Forward algorithm as a batched `lax.scan` on the
+    accelerator, trusted-cutoff filtering).  Unlike the reference's
+    process-pool design (parsemarkers.py:167-173), all genes from a file
+    are scored against each profile in a handful of device dispatches —
+    process parallelism is replaced by device batching, so the backend
+    declares `in_process = True`.
+
+    Deviations (documented in ops/orf.py and ops/hmm.py): candidate-ORF
+    enumeration instead of Prodigal's gene-selection DP, and no null-2
+    biased-composition score correction; both err toward extra candidate
+    hits, which the per-profile trusted cutoff then filters.
+    """
+
+    in_process = True
+
+    def marker_names(self, hmm_path: Path) -> list[list[str]]:
+        from .ops import hmm as hmm_mod
+
+        return get_name_to_id([p.name for p in hmm_mod.read_hmms(hmm_path)])[1]
+
+    def predict_file(self, contig_path, hmm_path):
+        from .ops import hmm as hmm_mod
+        from .ops import orf
+
+        profiles = hmm_mod.read_hmms(hmm_path)
+        name_to_id, _ = get_name_to_id([p.name for p in profiles])
+
+        proteins: list[str] = []
+        gene_contig: list[str] = []
+        with open(contig_path, "rb") as file:
+            for record in byte_iterfasta(file, None):
+                for protein in orf.find_genes(record.sequence):
+                    proteins.append(protein)
+                    gene_contig.append(record.identifier)
+
+        markers: defaultdict[str, set[int]] = defaultdict(set)
+        for profile in profiles:
+            cutoff = profile.trusted_cutoff
+            if cutoff is None:
+                raise ValueError(
+                    f"HMM profile {profile.name!r} has no trusted cutoff (TC)"
+                )
+            local = hmm_mod.configure_local(profile)
+            scores = hmm_mod.forward_scores(local, proteins)
+            marker_id = name_to_id[profile.name]
+            for gene_idx in np.flatnonzero(scores >= cutoff):
+                markers[gene_contig[gene_idx]].add(marker_id)
         return [
             (name, np.array(sorted(ids), dtype=np.uint8))
             for (name, ids) in markers.items()
