@@ -19,6 +19,8 @@ from vamb_tpu.avamb_ensemble import (
     filter_by_quality,
     read_checkm2_quality,
     rip_overlaps,
+    score_bins_with_markers,
+    write_nc_outputs,
 )
 
 LENGTHS = {f"C{i}": 100_000 for i in range(40)}
@@ -148,6 +150,116 @@ class TestEnsembleMerge:
             )
 
 
+class TestNativeScoring:
+    def make_markers(self, identifiers):
+        "3-marker set over 6 contigs: m0 twice, m1 once, m2 absent."
+        from vamb_tpu.markers import Markers
+        from vamb_tpu.utils import RefHasher
+
+        markers = [
+            np.array([0], dtype=np.uint8),  # contig 0: m0
+            np.array([0, 1], dtype=np.uint8),  # contig 1: m0, m1
+            None,
+            None,
+            np.array([2], dtype=np.uint8),  # contig 4: m2
+            None,
+        ]
+        return Markers(
+            markers,
+            [["m0a", "m0b"], ["m1"], ["m2"]],
+            RefHasher.hash_refnames(identifiers),
+        )
+
+    def test_score_bins_with_markers(self):
+        identifiers = [f"C{i}" for i in range(6)]
+        m = self.make_markers(identifiers)
+        qualities = score_bins_with_markers(
+            m, {"a": {"C0", "C1"}, "b": {"C2", "C3"}, "c": {"C4"}}, identifiers
+        )
+        # bin a: markers {m0 x2, m1} -> 2/3 unique present, 1 surplus copy
+        assert qualities["a"].completeness == pytest.approx(2 / 3)
+        assert qualities["a"].contamination == pytest.approx(1 / 3)
+        # bin b: no markers at all
+        assert qualities["b"] == BinQuality(0.0, 0.0)
+        # bin c: just m2
+        assert qualities["c"].completeness == pytest.approx(1 / 3)
+        assert qualities["c"].contamination == 0.0
+
+    def test_unknown_contig_raises(self):
+        identifiers = [f"C{i}" for i in range(6)]
+        m = self.make_markers(identifiers)
+        with pytest.raises(KeyError, match="not present"):
+            score_bins_with_markers(m, {"a": {"nope"}}, identifiers)
+
+
+class TestNcOutputs:
+    def test_quality_report_and_per_sample_bins(self, tmp_path):
+        import gzip as _gzip
+        from pathlib import Path
+
+        fasta = tmp_path / "contigs.fna"
+        seqs = {
+            "S1Cx": "ACGTACGTAA",
+            "S1Cy": "TTTTACGTCC",
+            "S2Cz": "GGGGACGTAC",
+        }
+        with open(fasta, "w") as f:
+            for name, seq in seqs.items():
+                f.write(f">{name}\n{seq}\n")
+        merged = {"bin1": {"S1Cx", "S1Cy"}, "bin2": {"S2Cz"}}
+        qualities = {
+            "bin1": BinQuality(0.955, 0.012),
+            "bin2": BinQuality(1.0, 0.0),
+        }
+        out = tmp_path / "nc"
+        write_nc_outputs(
+            out, merged, qualities, separator="C", fasta_path=Path(fasta)
+        )
+        report = (out / "quality_report.tsv").read_text().splitlines()
+        assert report[0] == "Name\tCompleteness\tContamination"
+        assert report[1] == "bin1\t95.50\t1.20"
+        assert report[2] == "bin2\t100.00\t0.00"
+        # per-sample folders named by the prefix before the separator
+        bin1 = (out / "bins" / "S1" / "bin1.fna").read_text()
+        assert set(bin1.splitlines()) >= {">S1Cx", ">S1Cy"}
+        assert "ACGTACGTAA" in bin1 and "TTTTACGTCC" in bin1
+        bin2 = (out / "bins" / "S2" / "bin2.fna").read_text()
+        assert bin2 == ">S2Cz\nGGGGACGTAC\n"
+
+    def test_no_separator_flat_layout_and_compress(self, tmp_path):
+        import gzip as _gzip
+        from pathlib import Path
+
+        fasta = tmp_path / "contigs.fna"
+        with open(fasta, "w") as f:
+            f.write(">A\nACGT\n>B\nTTGG\n")
+        out = tmp_path / "nc"
+        write_nc_outputs(
+            out,
+            {"b": {"A", "B"}},
+            {"b": BinQuality(1.0, 0.0)},
+            separator=None,
+            fasta_path=Path(fasta),
+            compress=True,
+        )
+        with _gzip.open(out / "bins" / "b.fna.gz", "rt") as f:
+            text = f.read()
+        assert set(text.splitlines()) == {">A", "ACGT", ">B", "TTGG"}
+
+    def test_missing_contig_raises(self, tmp_path):
+        from pathlib import Path
+
+        fasta = tmp_path / "contigs.fna"
+        fasta.write_text(">A\nACGT\n")
+        with pytest.raises(IndexError, match="missing from input FASTA"):
+            write_nc_outputs(
+                tmp_path / "nc",
+                {"b": {"A", "Z"}},
+                {"b": BinQuality(1.0, 0.0)},
+                fasta_path=Path(fasta),
+            )
+
+
 def test_cli_subcommand(tmp_path):
     "avamb_ensemble end-to-end through the CLI."
     import random as _random
@@ -199,3 +311,66 @@ def test_cli_subcommand(tmp_path):
     for members in merged.values():
         assert not (members & seen)
         seen |= set(members)
+
+
+def test_cli_native_scoring_and_write_bins(tmp_path):
+    "avamb_ensemble with marker-based scoring and NC-bin FASTA output."
+    import random as _random
+
+    from vamb_tpu.__main__ import main
+    from vamb_tpu.markers import Markers
+    from vamb_tpu.utils import RefHasher, read_clusters
+
+    rng = _random.Random(7)
+    names = [f"S1C{i}" for i in range(120)]
+    fasta = tmp_path / "contigs.fna"
+    with open(fasta, "w") as f:
+        for name in names:
+            f.write(f">{name}\n{''.join(rng.choices('ACGT', k=2500))}\n")
+
+    # bin "vae_1" (contigs 0..59) carries every marker exactly once;
+    # "vae_2" (60..119) carries none -> fails the completeness gate.
+    n_markers = 10
+    marker_rows = [None] * len(names)
+    for m in range(n_markers):
+        marker_rows[2 * m] = np.array([m], dtype=np.uint8)
+    markers = Markers(
+        marker_rows,
+        [[f"M{m}"] for m in range(n_markers)],
+        RefHasher.hash_refnames(names),
+    )
+    markers_path = tmp_path / "markers.npz"
+    markers.save(markers_path)
+
+    with open(tmp_path / "clusters.tsv", "w") as f:
+        f.write("clustername\tcontigname\n")
+        for m in names[:60]:
+            f.write(f"vae_1\t{m}\n")
+        for m in names[60:]:
+            f.write(f"vae_2\t{m}\n")
+
+    out = tmp_path / "out"
+    main(
+        [
+            "avamb_ensemble",
+            "--outdir", str(out),
+            "--fasta", str(fasta),
+            "-m", "2000",
+            "--clusters", str(tmp_path / "clusters.tsv"),
+            "--markers", str(markers_path),
+            "--min_bin_size", "10000",
+            "--write_bins",
+        ]
+    )
+    with open(out / "ensemble_clusters.tsv") as f:
+        merged = read_clusters(f)
+    assert set(merged) == {"vae_1"}
+    report = (out / "quality_report.tsv").read_text().splitlines()
+    assert report == [
+        "Name\tCompleteness\tContamination",
+        "vae_1\t100.00\t0.00",
+    ]
+    # default separator "C" puts the bin under its sample folder
+    bin_fasta = (out / "bins" / "S1" / "vae_1.fna").read_text()
+    got = {l[1:] for l in bin_fasta.splitlines() if l.startswith(">")}
+    assert got == set(names[:60])

@@ -574,11 +574,12 @@ Required arguments:
         description="""Merge multiple binnings (e.g. Avamb's vae/z/y cluster files) into one
 non-redundant, non-overlapping bin set using CheckM2 scores: quality
 filtering, score-based dereplication of near-duplicate bins, and overlap
-ripping (the decision stages of the reference's workflow_avamb Snakemake;
-mapping/CheckM2 themselves run externally).
+ripping (the decision stages of the reference's workflow_avamb Snakemake).
+Bin qualities come from a CheckM2 quality_report.tsv, or natively from
+single-copy marker genes (--markers / --hmm_path) with no external tools.
 
-Required arguments: outdir, a composition input, >=1 cluster TSVs, and a
-CheckM2 quality_report.tsv scoring every bin name.""",
+Required arguments: outdir, a composition input, >=1 cluster TSVs, and one
+quality source (--quality_report, --markers, or --hmm_path).""",
     )
     add_general_arguments(ensemble_parser)
     add_composition_arguments(ensemble_parser)
@@ -590,6 +591,31 @@ CheckM2 quality_report.tsv scoring every bin name.""",
     ens.add_argument(
         "--quality_report", metavar="", type=Path,
         help="CheckM2 quality_report.tsv covering every input bin",
+    )
+    ens.add_argument(
+        "--markers", metavar="", type=Path,
+        help="Marker .npz file for native bin scoring (alternative to "
+        "--quality_report)",
+    )
+    ens.add_argument(
+        "--hmm_path", metavar="", type=Path,
+        help="Marker-gene .hmm profiles: predict markers from the FASTA "
+        "input, then score bins natively",
+    )
+    ens.add_argument(
+        "--write_bins", action="store_true",
+        help="Also write per-sample FASTA files and a quality_report.tsv "
+        "for the final bins (requires --fasta input)",
+    )
+    ens.add_argument(
+        "--compress", dest="compress_fasta_output", action="store_true",
+        help="Compress written bin FASTAs to .fna.gz",
+    )
+    ens.add_argument(
+        "-o", dest="binsplit_separator", metavar="", type=str,
+        default=None, const="", nargs="?",
+        help="Sample separator for per-sample bin folders "
+        "[C if present] (pass empty string to disable)",
     )
     ens.add_argument(
         "--min_completeness", metavar="", type=float, default=0.9,
@@ -779,8 +805,15 @@ CheckM2 quality_report.tsv scoring every bin name.""",
 
         if not args.clusters:
             raise ValueError("avamb_ensemble requires --clusters")
-        if args.quality_report is None:
-            raise ValueError("avamb_ensemble requires --quality_report")
+        if (
+            args.quality_report is None
+            and args.markers is None
+            and args.hmm_path is None
+        ):
+            raise ValueError(
+                "avamb_ensemble requires a bin quality source: "
+                "--quality_report, --markers, or --hmm_path"
+            )
         general = _general_options_from_args(args)
         comp_options = _comp_options_from_args(args)
 
@@ -791,16 +824,50 @@ CheckM2 quality_report.tsv scoring every bin name.""",
                 comp_options, args.minlength, general.outdir,
                 _BinSplitter.inert_splitter(),
             )
+            identifiers = list(composition.metadata.identifiers)
+            markers = None
+            if args.quality_report is None:
+                from .pipeline import MarkerOptions, load_markers
+
+                markers = load_markers(
+                    MarkerOptions(
+                        markers_path=args.markers,
+                        hmm_path=args.hmm_path,
+                        fasta_path=comp_options.fasta,
+                    ),
+                    composition.metadata,
+                    general.outdir,
+                    general.nthreads,
+                )
+            nc_outdir = None
+            fasta_out = None
+            separator = None
+            if args.write_bins:
+                if comp_options.fasta is None:
+                    raise ValueError(
+                        "--write_bins requires the composition to be given "
+                        "as --fasta"
+                    )
+                nc_outdir = general.outdir
+                fasta_out = comp_options.fasta
+                splitter = _BinSplitter(args.binsplit_separator)
+                splitter.initialize(identifiers)
+                separator = splitter.splitter
             run_ensemble_files(
                 general.outdir.joinpath("ensemble_clusters.tsv"),
                 args.clusters,
                 args.quality_report,
-                list(composition.metadata.identifiers),
+                identifiers,
                 composition.metadata.lengths,
                 min_completeness=args.min_completeness,
                 max_contamination=args.max_contamination,
                 min_cov=args.min_cov,
                 min_bin_size=args.min_bin_size,
+                markers=markers,
+                nc_outdir=nc_outdir,
+                separator=separator,
+                fasta_path=fasta_out,
+                compress=args.compress_fasta_output,
             )
 
         run(_run_ensemble, general)

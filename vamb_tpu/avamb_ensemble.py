@@ -25,6 +25,19 @@ logic lives here as a library + the `avamb_ensemble` CLI subcommand:
    common case (the smaller bin keeps the shared contigs).
 
 The output is a standard clusters TSV whose bins are disjoint.
+
+Two extensions make the whole workflow runnable without external tools:
+
+- **Native scoring** — `score_bins_with_markers` estimates per-bin
+  completeness/contamination from single-copy marker genes (the same
+  counts `Markers.score_bin` uses for reclustering), so the ensemble can
+  run self-contained when CheckM2 is unavailable. Markers themselves can
+  be predicted with the built-in ORF caller + profile-HMM backend.
+- **Final NC-bin output** — `write_nc_outputs` reproduces the terminal
+  stages of the reference workflow (mv_bins_from_mdrep_clusters.py,
+  transfer_contigs_and_aggregate_all_nc_bins.py:301-320): per-sample
+  folders of near-complete bin FASTAs plus a `quality_report.tsv`
+  covering exactly the emitted bins.
 """
 
 from dataclasses import dataclass
@@ -231,18 +244,135 @@ def ensemble_merge(
     return disjoint
 
 
+def score_bins_with_markers(
+    markers,
+    bins: Mapping[str, set[str]],
+    identifiers: Sequence[str],
+) -> dict[str, BinQuality]:
+    """Estimate every bin's quality from single-copy marker genes.
+
+    Completeness = fraction of the marker set present at least once;
+    contamination = surplus marker copies / marker-set size — exactly the
+    counts `Markers.score_bin` computes (and the quantities the reference
+    workflow obtains externally from CheckM2). `markers` is a
+    `vamb_tpu.markers.Markers`; `identifiers` aligns contig names to its
+    row indices.
+    """
+    index_of = {name: i for i, name in enumerate(identifiers)}
+    out: dict[str, BinQuality] = {}
+    for name, contigs in bins.items():
+        missing = [c for c in contigs if c not in index_of]
+        if missing:
+            raise KeyError(
+                f'Bin "{name}" contains contig "{missing[0]}" '
+                "not present in the composition the markers were predicted on"
+            )
+        completeness, contamination = markers.score_bin(
+            index_of[c] for c in contigs
+        )
+        out[name] = BinQuality(
+            completeness=float(completeness), contamination=float(contamination)
+        )
+    return out
+
+
+def write_nc_outputs(
+    outdir: Path,
+    merged: Mapping[str, set[str]],
+    qualities: Mapping[str, BinQuality],
+    separator: Optional[str] = None,
+    fasta_path: Optional[Path] = None,
+    compress: bool = False,
+) -> None:
+    """Write the workflow's terminal artifacts for the final bin set.
+
+    - `<outdir>/quality_report.tsv`: Name/Completeness/Contamination (in
+      percent, CheckM2 units) for exactly the emitted bins — the
+      reference's final quality file
+      (transfer_contigs_and_aggregate_all_nc_bins.py:301-320).
+    - With `fasta_path`: one FASTA per bin under `<outdir>/bins/<sample>/`
+      where sample is the contig-name prefix before `separator` (the
+      reference's per-sample NC folders, mv_bins_from_mdrep_clusters.py);
+      with no separator all bins land in `<outdir>/bins/`.
+    """
+    import gzip
+
+    from .utils.io import Reader, byte_iterfasta
+
+    outdir.mkdir(parents=True, exist_ok=True)
+    with open(outdir.joinpath("quality_report.tsv"), "w") as file:
+        print("Name", "Completeness", "Contamination", sep="\t", file=file)
+        for name in sorted(merged):
+            quality = qualities[name]
+            print(
+                name,
+                f"{quality.completeness * 100:.2f}",
+                f"{quality.contamination * 100:.2f}",
+                sep="\t",
+                file=file,
+            )
+    if fasta_path is None:
+        return
+    bins_root = outdir.joinpath("bins")
+    keep: set[str] = set()
+    for contigs in merged.values():
+        keep.update(contigs)
+    # One streaming pass over the catalogue; sequences gzip-cached in RAM
+    # until written (same policy as utils.io.write_bins).
+    bytes_by_id: dict[str, bytes] = {}
+    with Reader(fasta_path) as fastaio:
+        for entry in byte_iterfasta(fastaio, None):
+            if entry.identifier in keep:
+                bytes_by_id[entry.identifier] = gzip.compress(
+                    entry.format().encode(), compresslevel=1
+                )
+    for name, contigs in sorted(merged.items()):
+        if separator:
+            sample = next(iter(sorted(contigs))).split(separator)[0]
+            directory = bins_root.joinpath(sample)
+        else:
+            directory = bins_root
+        directory.mkdir(parents=True, exist_ok=True)
+        suffix = ".fna.gz" if compress else ".fna"
+        opener = (
+            gzip.open(directory.joinpath(name + suffix), "wb", compresslevel=1)
+            if compress
+            else open(directory.joinpath(name + suffix), "wb")
+        )
+        with opener as file:
+            for contig in sorted(contigs):
+                data = bytes_by_id.get(contig)
+                if data is None:
+                    raise IndexError(
+                        f'Contig "{contig}" in bin missing from input FASTA'
+                    )
+                file.write(gzip.decompress(data))
+                file.write(b"\n")
+
+
 def run_ensemble_files(
     output: Union[Path, IO[str]],
     cluster_paths: Sequence[Path],
-    quality_path: Path,
+    quality_path: Optional[Path],
     identifiers: Sequence[str],
     lengths,
     min_completeness: float = 0.9,
     max_contamination: float = 0.05,
     min_cov: float = 0.75,
     min_bin_size: int = 200_000,
+    markers=None,
+    nc_outdir: Optional[Path] = None,
+    separator: Optional[str] = None,
+    fasta_path: Optional[Path] = None,
+    compress: bool = False,
 ) -> dict[str, set[str]]:
-    "File-level wrapper used by the CLI."
+    """File-level wrapper used by the CLI.
+
+    Bin qualities come from `quality_path` (a CheckM2 quality_report.tsv)
+    or, when that is None, natively from `markers`. With `nc_outdir` the
+    final near-complete bin artifacts (quality report, per-sample FASTAs)
+    are written too.
+    """
     from .utils import read_clusters, write_clusters
 
     length_of = {n: int(l) for n, l in zip(identifiers, lengths)}
@@ -258,8 +388,19 @@ def run_ensemble_files(
                     "not present in the composition"
                 )
         binnings.append(clusters)
-    with open(quality_path) as file:
-        qualities = read_checkm2_quality(file)
+    if quality_path is not None:
+        with open(quality_path) as file:
+            qualities = read_checkm2_quality(file)
+    elif markers is not None:
+        union: dict[str, set[str]] = {}
+        for binning in binnings:
+            union.update({k: set(v) for k, v in binning.items()})
+        logger.info("\tScoring bins with single-copy marker genes")
+        qualities = score_bins_with_markers(markers, union, identifiers)
+    else:
+        raise ValueError(
+            "Either a CheckM2 quality report or markers must be provided"
+        )
     merged = ensemble_merge(
         binnings, qualities, length_of,
         min_completeness, max_contamination, min_cov, min_bin_size,
@@ -269,4 +410,8 @@ def run_ensemble_files(
             write_clusters(file, sorted(merged.items()))
     else:
         write_clusters(output, sorted(merged.items()))
+    if nc_outdir is not None:
+        write_nc_outputs(
+            nc_outdir, merged, qualities, separator, fasta_path, compress
+        )
     return merged
