@@ -203,6 +203,97 @@ def bench_clustering() -> tuple[float, dict]:
     return rate, metrics
 
 
+def bench_e2e() -> None:
+    """Opt-in (`python bench.py --e2e`): the full `bin default` CLI on a
+    synthetic 100k-contig x 10-sample dataset — FASTA in, split cluster
+    TSVs out, default settings (300 epochs, default batch schedule).
+
+    The dataset is drawn from 500 synthetic source genomes so the latent
+    space has real cluster structure (random sequences would cluster into
+    ~N singletons, which exercises a pathological regime instead of the
+    production one). Comparable in spirit to the reference's CAMI2
+    wall-times (BASELINE.md: 684-2178 s per dataset on an unspecified
+    node); the datasets differ, so treat it as order-of-magnitude only.
+    Wall time includes XLA compiles unless the persistent cache is warm —
+    run twice and quote the second number as steady-state.
+    """
+    import shutil
+    import tempfile
+
+    n_contigs = 100_000
+    n_samples = 10
+    n_genomes = 500
+    genome_len = 60_000
+
+    rng = np.random.default_rng(7)
+    t_gen = time.time()
+    genomes = rng.integers(0, 4, (n_genomes, genome_len), dtype=np.uint8)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    lengths = rng.integers(2000, 5001, n_contigs)
+    which = rng.integers(0, n_genomes, n_contigs)
+    starts = rng.integers(0, genome_len - 5001, n_contigs)
+    profiles = rng.exponential(2.0, (n_genomes, n_samples))
+
+    workdir = tempfile.mkdtemp(prefix="vamb_tpu_e2e_")
+    fasta_path = f"{workdir}/contigs.fna"
+    tsv_path = f"{workdir}/abundance.tsv"
+    with open(fasta_path, "wb") as f:
+        for i in range(n_contigs):
+            g, ln, st = which[i], lengths[i], starts[i]
+            seq = lut[genomes[g, st : st + ln]]
+            f.write(b">S%dC%d\n" % (g % n_samples, i))
+            f.write(seq.tobytes())
+            f.write(b"\n")
+    depths = profiles[which] * rng.lognormal(0.0, 0.1, (n_contigs, n_samples))
+    with open(tsv_path, "w") as f:
+        f.write("contigname\t" + "\t".join(f"s{j}" for j in range(n_samples)))
+        f.write("\n")
+        for i in range(n_contigs):
+            f.write(f"S{which[i] % n_samples}C{i}\t")
+            f.write("\t".join(f"{v:.6g}" for v in depths[i]))
+            f.write("\n")
+    print(
+        f"[bench] e2e: generated {n_contigs} contigs "
+        f"({lengths.sum() / 1e6:.0f} Mbp, {n_samples} samples) "
+        f"in {time.time() - t_gen:.1f}s",
+        file=sys.stderr,
+    )
+
+    from vamb_tpu.__main__ import main as cli_main
+
+    outdir = f"{workdir}/out"
+    t0 = time.time()
+    cli_main(
+        [
+            "bin", "default",
+            "--outdir", outdir,
+            "--fasta", fasta_path,
+            "--abundance_tsv", tsv_path,
+            "--seed", "1",
+        ]
+    )
+    elapsed = time.time() - t0
+    with open(f"{outdir}/vae_clusters_split.tsv") as f:
+        n_bins = len({line.split("\t")[0] for line in f}) - 1
+    print(
+        f"[bench] e2e: bin default on {n_contigs} contigs x {n_samples} "
+        f"samples in {elapsed:.1f}s ({n_contigs / elapsed:.0f} contigs/s "
+        f"end-to-end, {n_bins} split bins)",
+        file=sys.stderr,
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_bin_default_wall_s_100k_x10",
+                "value": elapsed,
+                "unit": "s",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 def bench_pallas_ab() -> None:
     """A/B the Pallas clustering kernels against the engine's XLA
     expressions, in-program (lax.scan over 50 medoids — per-dispatch tunnel
@@ -292,6 +383,9 @@ def bench_pallas_ab() -> None:
 def main() -> None:
     if "--pallas-ab" in sys.argv:
         bench_pallas_ab()
+        return
+    if "--e2e" in sys.argv:
+        bench_e2e()
         return
     # Clustering (the headline metric) runs first, and each stage is
     # fenced: a cold XLA compile through the TPU tunnel can take many
