@@ -388,10 +388,22 @@ def _make_emit_batch(
                 "fc,fn->cn", rows, matrixT, precision=_prec,
                 preferred_element_type=jnp.float32,
             )
-            D = jnp.where(iota[None, :] == cand[:, None], 0.0, D)
-            within = (D <= _MEDOID_RADIUS) & kept[None, :]
+            # Self-distance handling without materializing a zeroed copy of
+            # the (C, N) matrix: the self column's term is written directly
+            # (lengths * (r - 0) ≡ lengths * r, bit-identical), all other
+            # columns use the raw distances.
+            self_m = iota[None, :] == cand[:, None]
+            kept_b = kept[None, :]
             dens = jnp.sum(
-                jnp.where(within, lengths[None, :] * (_MEDOID_RADIUS - D), 0.0),
+                jnp.where(
+                    self_m & kept_b,
+                    lengths[None, :] * _MEDOID_RADIUS,
+                    jnp.where(
+                        (D <= _MEDOID_RADIUS) & kept_b & ~self_m,
+                        lengths[None, :] * (_MEDOID_RADIUS - D),
+                        0.0,
+                    ),
+                ),
                 axis=1,
             )
             better = cand_valid & (dens > density)
@@ -403,7 +415,10 @@ def _make_emit_batch(
             tried = tried.at[mark_idx].set(True, mode="drop")
 
             medoid = jnp.where(any_better, cand[j], medoid)
-            d = jnp.where(any_better, D[j], d)
+            # D rows are raw; the jump target's self-distance is forced to
+            # exactly 0 here (the zeroed-copy variant did it matrix-wide)
+            d_jump = jnp.where(iota == cand[j], 0.0, D[j])
+            d = jnp.where(any_better, d_jump, d)
             density = jnp.where(any_better, dens[j], density)
             done = ~any_better
             # `upto` is exactly the number of candidates the reference's
@@ -466,27 +481,38 @@ def _make_emit_batch(
     def emit_batch(matrixT, lengths, state: _State):
         N = matrixT.shape[1]
 
-        def emit(state: _State, recs: _Records, sel, medoid, seed, kind, radius, opvr):
-            "Write one cluster: mask members, assign labels, record metadata."
+        def emit(state: _State, recs: _Records, sel, emitted, medoid, seed, kind, radius, opvr):
+            """Write one cluster predicated on `emitted`: mask members,
+            assign labels, record metadata. When `emitted` is False every
+            field keeps its prior value — this replaces the old
+            compute-then-merge pattern, whose jax.tree.map(where) over the
+            WHOLE state re-wrote the 32 MB speculative-distance cache and
+            every other large array once per attempt."""
             i = recs.n_emitted
             cid = state.next_cid
-            count = jnp.sum(sel)
+            sel_eff = sel & emitted
+            count = jnp.sum(sel_eff)
             state = state._replace(
-                kept=state.kept & ~sel,
-                labels=jnp.where(sel, cid, state.labels),
+                kept=state.kept & ~sel_eff,
+                labels=jnp.where(sel_eff, cid, state.labels),
                 n_remaining=state.n_remaining - count,
-                next_cid=cid + 1,
+                next_cid=cid + emitted.astype(jnp.int32),
             )
+            step = emitted.astype(jnp.int32)
+
+            def w(arr, val):
+                return arr.at[i].set(jnp.where(emitted, val, arr[i]))
+
             recs = _Records(
-                medoid=recs.medoid.at[i].set(medoid),
-                seed=recs.seed.at[i].set(seed),
-                kind=recs.kind.at[i].set(kind),
-                radius=recs.radius.at[i].set(radius),
-                observed_pvr=recs.observed_pvr.at[i].set(opvr),
-                pvr=recs.pvr.at[i].set(state.pvr),
-                successes=recs.successes.at[i].set(state.successes),
-                attempts=recs.attempts.at[i].set(state.attempts_len),
-                n_emitted=i + 1,
+                medoid=w(recs.medoid, medoid),
+                seed=w(recs.seed, seed),
+                kind=w(recs.kind, kind),
+                radius=w(recs.radius, radius),
+                observed_pvr=w(recs.observed_pvr, opvr),
+                pvr=w(recs.pvr, state.pvr),
+                successes=w(recs.successes, state.successes),
+                attempts=w(recs.attempts, state.attempts_len),
+                n_emitted=i + step,
             )
             return state, recs
 
@@ -509,8 +535,18 @@ def _make_emit_batch(
 
             hit = jnp.any(state.spec_seeds == seed)
             state = jax.lax.cond(hit, lambda st: st, refill, state)
+            # read the slot's row as a one-hot masked sum: a dynamic slice
+            # along the sublane axis of the (S, N) cache costs a full
+            # shuffle pass (~1 ms at 1M); the masked sum streams the cache
+            # once and adds only zeros to the selected row (bit-exact).
+            # argmax-first matters: with few points left the seed scan
+            # wraps and duplicates seeds across slots (identical rows, but
+            # summing two of them would double the values).
             slot = jnp.argmax(state.spec_seeds == seed)
-            d0 = state.spec_d[slot]
+            onehot = jnp.arange(_SPEC_SEEDS) == slot
+            d0 = jnp.sum(
+                jnp.where(onehot[:, None], state.spec_d, 0.0), axis=0
+            )
             state = state._replace(order_pos=seed + 1)
 
             key, sub = jax.random.split(state.key)
@@ -547,11 +583,11 @@ def _make_emit_batch(
             # updates the window before returning for normal clusters at
             # :599-600 -> actually after constructing the record; we record
             # pre-update values to match :589-598)
-            pre_state = state
-            new_state, new_recs = emit(
+            state, recs = emit(
                 state,
                 recs,
                 sel,
+                emitted,
                 medoid,
                 seed,
                 jnp.where(
@@ -562,18 +598,19 @@ def _make_emit_batch(
                 radius,
                 jnp.where(is_normal, opvr, jnp.nan),
             )
-            state = jax.tree.map(
-                lambda a, b: jnp.where(emitted, a, b), new_state, pre_state
-            )
-            recs = jax.tree.map(
-                lambda a, b: jnp.where(emitted, a, b), new_recs, recs
-            )
 
-            # pvr feedback: False on reject; True on normal emit while pvr<0.55
+            # pvr feedback: False on reject; True on normal emit while
+            # pvr<0.55. update_successes only touches the success-window
+            # fields, so only those are merged (never the big arrays).
             do_update = is_reject | (is_normal & (state.pvr < 0.55))
             upd_state = update_successes(state, is_normal & (state.pvr < 0.55))
-            state = jax.tree.map(
-                lambda a, b: jnp.where(do_update, a, b), upd_state, state
+            state = state._replace(
+                attempts=jnp.where(do_update, upd_state.attempts, state.attempts),
+                attempts_len=jnp.where(do_update, upd_state.attempts_len, state.attempts_len),
+                attempts_head=jnp.where(do_update, upd_state.attempts_head, state.attempts_head),
+                successes=jnp.where(do_update, upd_state.successes, state.successes),
+                pvr=jnp.where(do_update, upd_state.pvr, state.pvr),
+                order_pos=jnp.where(do_update, upd_state.order_pos, state.order_pos),
             )
             return state, recs
 
