@@ -477,9 +477,20 @@ def _make_emit_batch(
             order_pos=jnp.where(bump, 0, state.order_pos),
         )
 
+    # Batch-local labels ride back to the host as the narrowest dtype that
+    # can hold 1..K (0 = not assigned this batch): a 4x smaller transfer
+    # than re-pulling the int32 labels array every dispatch.
+    if K < 256:
+        _delta_dtype = jnp.uint8
+    elif K < 32768:
+        _delta_dtype = jnp.int16
+    else:
+        _delta_dtype = jnp.int32
+
     @partial(jax.jit, donate_argnums=(2,))
     def emit_batch(matrixT, lengths, state: _State):
         N = matrixT.shape[1]
+        first_cid = state.next_cid
 
         def emit(state: _State, recs: _Records, sel, emitted, medoid, seed, kind, radius, opvr):
             """Write one cluster predicated on `emitted`: mask members,
@@ -629,7 +640,35 @@ def _make_emit_batch(
             attempts=jnp.zeros(K, jnp.int32),
             n_emitted=jnp.int32(0),
         )
-        return jax.lax.while_loop(cond, attempt, (state, recs0))
+        state, recs = jax.lax.while_loop(cond, attempt, (state, recs0))
+        # Pack the per-cluster records into exactly two host transfers (the
+        # tunnel's per-transfer round trip dwarfs the bytes: 8 tiny pulls
+        # cost ~8x one) plus the compact batch-local label delta.
+        ints = jnp.concatenate(
+            [
+                recs.medoid,
+                recs.seed,
+                recs.kind,
+                recs.successes,
+                recs.attempts,
+                recs.n_emitted[None],
+            ]
+        )
+        # Distance counters ride along so the host-side properties reflect
+        # exactly the decoded batches (and never force a device sync).
+        flts = jnp.concatenate(
+            [
+                recs.radius,
+                recs.observed_pvr,
+                recs.pvr,
+                state.n_dists[None],
+                state.n_dists_eff[None],
+            ]
+        )
+        delta = jnp.where(
+            state.labels >= first_cid, state.labels - first_cid + 1, 0
+        ).astype(_delta_dtype)
+        return state, ints, flts, delta
 
     return emit_batch
 
@@ -754,6 +793,13 @@ class ClusterGenerator:
         self._emitted_total = 0
         self.n_emitted_clusters = 0
         self.n_remaining_points = n
+        self._batch_clusters = batch_clusters
+        # In-flight dispatch for host/device pipelining: while the host
+        # decodes batch i, the device is already computing batch i+1.
+        self._inflight = None
+        self._assigned_total = 0  # points assigned across *decoded* batches
+        self._n_dists = 0.0
+        self._n_dists_eff = 0.0
 
     def __repr__(self) -> str:
         return (
@@ -763,15 +809,17 @@ class ClusterGenerator:
 
     @property
     def n_dists(self) -> float:
-        "Total raw medoid-to-point distance evaluations so far."
-        return float(self._state.n_dists)
+        """Total raw medoid-to-point distance evaluations backing the
+        clusters decoded so far (in-flight speculative work is excluded;
+        reading this never synchronizes with the device)."""
+        return self._n_dists
 
     @property
     def n_dists_effective(self) -> float:
         """Reference-equivalent distance evaluations so far: only the
         candidates the reference's sequential sampler would have visited
         (see _State.n_dists_eff)."""
-        return float(self._state.n_dists_eff)
+        return self._n_dists_eff
 
     def __iter__(self):
         return self
@@ -786,32 +834,54 @@ class ClusterGenerator:
         self.n_remaining_points -= len(cluster.members)
         return cluster
 
-    def _dispatch(self) -> None:
-        "Run one device batch and decode its records into Cluster objects."
-        self._state, recs = self._emit_batch(
+    def _launch(self) -> None:
+        "Enqueue one device batch and start its result copies to host."
+        self._state, ints, flts, delta = self._emit_batch(
             self.matrixT, self.lengths, self._state
         )
-        n_emitted = int(recs.n_emitted)
+        for arr in (ints, flts, delta):
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass  # backend without async copies: np.asarray blocks later
+        self._inflight = (ints, flts, delta)
+
+    def _dispatch(self) -> None:
+        """Decode one batch into Cluster objects, keeping the device busy.
+
+        The next batch is launched *before* the current one's results are
+        pulled, so the (tunnel-latency-dominated) host decode overlaps the
+        next device program. The final speculative launch computes an empty
+        batch (its while-loop condition fails immediately) that is never
+        decoded — a one-off cost far below the per-dispatch stall it removes.
+        """
+        if self._inflight is None:
+            self._launch()
+        ints_d, flts_d, delta_d = self._inflight
+        self._inflight = None
+        if self._assigned_total < self.n_points:
+            self._launch()
+        ints = np.asarray(ints_d)
+        flts = np.asarray(flts_d)
+        delta = np.asarray(delta_d)
+        K = self._batch_clusters
+        n_emitted = int(ints[5 * K])
         assert n_emitted > 0
-        labels = np.asarray(self._state.labels)
+        medoids, seeds, kinds, succs, atts = (
+            ints[:K], ints[K : 2 * K], ints[2 * K : 3 * K],
+            ints[3 * K : 4 * K], ints[4 * K : 5 * K],
+        )
+        radii, opvrs, pvrs = flts[:K], flts[K : 2 * K], flts[2 * K : 3 * K]
+        self._n_dists = float(flts[3 * K])
+        self._n_dists_eff = float(flts[3 * K + 1])
         # group member indices of this batch's cluster ids in one sweep
-        first_cid = self._emitted_total
-        assigned = np.flatnonzero(labels >= first_cid)
-        ids = labels[assigned]
+        assigned = np.flatnonzero(delta)
+        ids = delta[assigned].astype(np.int64) - 1  # batch-local cluster id
         sort = np.argsort(ids, kind="stable")
         sorted_ids = ids[sort]
         sorted_idx = assigned[sort]
-        bounds = np.searchsorted(
-            sorted_ids, np.arange(first_cid, first_cid + n_emitted + 1)
-        )
-        medoids = np.asarray(recs.medoid)
-        seeds = np.asarray(recs.seed)
-        kinds = np.asarray(recs.kind)
-        radii = np.asarray(recs.radius)
-        opvrs = np.asarray(recs.observed_pvr)
-        pvrs = np.asarray(recs.pvr)
-        succs = np.asarray(recs.successes)
-        atts = np.asarray(recs.attempts)
+        bounds = np.searchsorted(sorted_ids, np.arange(n_emitted + 1))
+        self._assigned_total += len(assigned)
         for i in range(n_emitted):
             members = self._order[
                 sorted_idx[bounds[i] : bounds[i + 1]]
@@ -830,4 +900,4 @@ class ClusterGenerator:
                 )
             )
         self._emitted_total += n_emitted
-        self.peak_valley_ratio = float(self._state.pvr)
+        self.peak_valley_ratio = float(pvrs[n_emitted - 1])
