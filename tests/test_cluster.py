@@ -197,6 +197,46 @@ class TestBf16DistancePath:
     partition and agree with f32 on the overwhelming majority of
     memberships on well-separated data."""
 
+    def test_compaction_partition_quality_determinism(self):
+        """With the size floor forced low, the engine compacts mid-run:
+        the result must still be a full partition, deterministic, and pure
+        on well-separated blobs (compaction reindexes the sampling RNG, so
+        equality with a compaction-free run is NOT expected — see the
+        ClusterGenerator docstring)."""
+        rng = np.random.default_rng(11)
+        centers = rng.standard_normal((24, 16)).astype(np.float32) * 8
+        matrix = np.concatenate(
+            [c + 0.01 * rng.standard_normal((80, 16)) for c in centers]
+        ).astype(np.float32)
+        n = len(matrix)
+        lengths = rng.integers(2000, 9000, n)
+
+        def run():
+            gen = ClusterGenerator(
+                matrix.copy(),
+                lengths,
+                rng_seed=5,
+                batch_clusters=4,
+                compact_min_pad=128,
+                compact_async=False,
+            )
+            clusters = list(gen)
+            return gen, clusters
+
+        gen, clusters = run()
+        assert gen._n_live_pad < 1920, gen._n_live_pad  # compaction happened
+        seen = np.sort(np.concatenate([c.members for c in clusters]))
+        np.testing.assert_array_equal(seen, np.arange(n))
+        truth = np.repeat(np.arange(24), 80)
+        for c in clusters:
+            if len(c.members) > 5:
+                assert len(set(truth[c.members])) == 1
+        _, clusters2 = run()
+        assert len(clusters2) == len(clusters)
+        for a, b in zip(clusters, clusters2):
+            np.testing.assert_array_equal(a.members, b.members)
+            assert a.medoid == b.medoid
+
     def test_bf16_partition_and_agreement(self):
         rng = np.random.default_rng(8)
         centers = rng.normal(size=(20, 24)).astype(np.float32)

@@ -673,6 +673,37 @@ def _make_emit_batch(
     return emit_batch
 
 
+@jax.jit
+def _compact_arrays(matrixT, lengths, state: _State, idx2old, valid):
+    """Gather the surviving columns into a smaller buffer (device-side).
+
+    `idx2old[i]` is the old column of new column i; `valid` masks the new
+    padding tail. Survivors keep their relative (descending-length) order,
+    so the seed scan's semantics carry over; `order_pos` is remapped to the
+    rank of the first surviving row at or after the old position. The
+    speculative seed cache is invalidated (exact-id matching makes that
+    decision-neutral). The reference shrinks its matrix the same way —
+    CPU-mode row packing, vamb/cluster.py:318-335.
+    """
+    mT2 = jnp.take(matrixT, idx2old, axis=1)
+    lengths2 = jnp.where(valid, lengths[idx2old], 0.0)
+    kept2 = jnp.where(valid, state.kept[idx2old], False)
+    labels2 = jnp.where(valid, state.labels[idx2old], -1)
+    iota_old = jnp.arange(matrixT.shape[1])
+    order_pos2 = jnp.sum(
+        state.kept & (iota_old < state.order_pos), dtype=jnp.int32
+    )
+    new_pad = idx2old.shape[0]
+    state2 = state._replace(
+        kept=kept2,
+        labels=labels2,
+        order_pos=order_pos2,
+        spec_seeds=jnp.full((_SPEC_SEEDS,), -1, jnp.int32),
+        spec_d=jnp.zeros((_SPEC_SEEDS, new_pad), jnp.float32),
+    )
+    return mT2, lengths2, state2
+
+
 # ------------------------------------------------------------- host wrapper
 
 
@@ -690,6 +721,22 @@ class ClusterGenerator:
         rng_seed: seed for the candidate-sampling RNG
         mesh: optional 1-D jax Mesh to row-shard the engine over
         batch_clusters: clusters emitted per device dispatch [128]
+        compact: shrink the device matrix as points are clustered (see below)
+        compact_min_pad: never compact below this padded column count
+        compact_async: pre-compile smaller-size programs on a background
+            thread so compaction never stalls the dispatch loop
+
+    Compaction: every sweep streams the full padded matrix, so once most
+    points are clustered the engine pays for dead columns. When the
+    survivor count falls to half the live padded size (and stays above
+    `compact_min_pad`), surviving columns are gathered into a buffer of
+    half the size (the reference's CPU mode packs rows identically,
+    vamb/cluster.py:318-335). Candidate sampling draws one uniform per
+    column, so compaction — like the reference's pack-vs-mask mode choice —
+    re-seats the RNG stream: results stay deterministic for a given
+    dataset but differ from a compaction-free run. Cluster *quality* is
+    unaffected (the sampler is a hill-climb heuristic); the parity oracles
+    run below the size floor and are unaffected.
     """
 
     def __init__(
@@ -705,6 +752,9 @@ class ClusterGenerator:
         mesh=None,
         batch_clusters: int = _DEFAULT_BATCH,
         distance_dtype: str = "float32",
+        compact: bool = True,
+        compact_min_pad: int = 1 << 16,
+        compact_async: bool = True,
     ):
         if matrix.dtype != np.float32:
             raise ValueError("Matrix must be of dtype float32")
@@ -800,6 +850,21 @@ class ClusterGenerator:
         self._assigned_total = 0  # points assigned across *decoded* batches
         self._n_dists = 0.0
         self._n_dists_eff = 0.0
+        # --- compaction bookkeeping ---
+        self._mesh = mesh
+        self._col_tile = col_tile
+        self._f_pad = f_pad
+        self._ddtype = ddtype
+        self._windowsize = windowsize
+        self._put = (put_cols, put_rows, put_repl)
+        self._compact_enabled = compact
+        self._compact_min_pad = compact_min_pad
+        self._compact_async = compact_async and mesh is None
+        self._n_live_pad = n_pad
+        self._row_assigned = np.zeros(n, bool)  # current engine-row space
+        self._ready_exec: dict = {}  # padded size -> AOT executable (or None)
+        self._compiling: set = set()
+        self._spawn_precompile()
 
     def __repr__(self) -> str:
         return (
@@ -834,9 +899,113 @@ class ClusterGenerator:
         self.n_remaining_points -= len(cluster.members)
         return cluster
 
+    # ---------------------------------------------------------- compaction
+
+    def _next_target(self) -> Optional[int]:
+        "Next (halved) padded size on the compaction ladder, or None."
+        t = self._n_live_pad // 2
+        t -= t % self._col_tile
+        if t >= max(self._compact_min_pad, self._col_tile):
+            return t
+        return None
+
+    def _spawn_precompile(self) -> None:
+        "Pre-compile the next ladder size's program on a background thread."
+        if not (self._compact_enabled and self._compact_async):
+            return
+        target = self._next_target()
+        if target is None or target in self._ready_exec or target in self._compiling:
+            return
+        self._compiling.add(target)
+
+        def work():
+            try:
+                self._ready_exec[target] = self._lower_for(target)
+            except Exception:
+                self._ready_exec[target] = None  # fall back to inline jit
+
+        import threading
+
+        threading.Thread(target=work, daemon=True).start()
+
+    def _lower_for(self, n_pad: int):
+        "AOT-compile the emit program for a compacted size."
+        sds = jax.ShapeDtypeStruct
+        state = _State(
+            kept=sds((n_pad,), jnp.bool_),
+            labels=sds((n_pad,), jnp.int32),
+            order_pos=sds((), jnp.int32),
+            pvr=sds((), jnp.float32),
+            attempts=sds((self._windowsize,), jnp.bool_),
+            attempts_len=sds((), jnp.int32),
+            attempts_head=sds((), jnp.int32),
+            successes=sds((), jnp.int32),
+            n_remaining=sds((), jnp.int32),
+            next_cid=sds((), jnp.int32),
+            key=sds((2,), jnp.uint32),
+            n_dists=sds((), jnp.float32),
+            n_dists_eff=sds((), jnp.float32),
+            spec_seeds=sds((_SPEC_SEEDS,), jnp.int32),
+            spec_d=sds((_SPEC_SEEDS, n_pad), jnp.float32),
+        )
+        return self._emit_batch.lower(
+            sds((self._f_pad, n_pad), self._ddtype),
+            sds((n_pad,), jnp.float32),
+            state,
+        ).compile()
+
+    def _compaction_target_ready(self) -> Optional[int]:
+        """Ladder size to compact to now, or None. Uses the survivor count
+        through *decoded* batches (stale by at most the in-flight batch —
+        survivors only shrink, so the trigger is merely one batch late)."""
+        if not self._compact_enabled:
+            return None
+        target = self._next_target()
+        if target is None:
+            return None
+        survivors = self.n_points - self._assigned_total
+        if survivors <= 0 or _pad_to(survivors, self._col_tile) > target:
+            return None
+        if self._compact_async and target not in self._ready_exec:
+            return None  # still compiling; re-check next dispatch
+        return target
+
+    def _do_compact(self, target: int) -> None:
+        "Gather survivors into a `target`-column buffer and switch to it."
+        put_cols, put_rows, put_repl = self._put
+        survivor_rows = np.flatnonzero(~self._row_assigned)
+        n2 = len(survivor_rows)
+        assert n2 <= target
+        idx2old = np.zeros(target, np.int32)
+        idx2old[:n2] = survivor_rows
+        valid = np.zeros(target, bool)
+        valid[:n2] = True
+        self.matrixT, self.lengths, self._state = _compact_arrays(
+            self.matrixT,
+            self.lengths,
+            self._state,
+            put_rows(idx2old),
+            put_rows(valid),
+        )
+        if self._mesh is not None:
+            self.matrixT = put_cols(self.matrixT)
+            self.lengths = put_rows(self.lengths)
+            self._state = self._state._replace(
+                kept=put_rows(self._state.kept),
+                labels=put_rows(self._state.labels),
+                spec_d=put_cols(self._state.spec_d),
+            )
+        self._order = self._order[survivor_rows]
+        self._row_assigned = np.zeros(n2, bool)
+        self._n_live_pad = target
+        self._spawn_precompile()
+
+    # ------------------------------------------------------------ dispatch
+
     def _launch(self) -> None:
         "Enqueue one device batch and start its result copies to host."
-        self._state, ints, flts, delta = self._emit_batch(
+        fn = self._ready_exec.get(self._n_live_pad) or self._emit_batch
+        self._state, ints, flts, delta = fn(
             self.matrixT, self.lengths, self._state
         )
         for arr in (ints, flts, delta):
@@ -859,7 +1028,8 @@ class ClusterGenerator:
             self._launch()
         ints_d, flts_d, delta_d = self._inflight
         self._inflight = None
-        if self._assigned_total < self.n_points:
+        compact_to = self._compaction_target_ready()
+        if compact_to is None and self._assigned_total < self.n_points:
             self._launch()
         ints = np.asarray(ints_d)
         flts = np.asarray(flts_d)
@@ -882,6 +1052,7 @@ class ClusterGenerator:
         sorted_idx = assigned[sort]
         bounds = np.searchsorted(sorted_ids, np.arange(n_emitted + 1))
         self._assigned_total += len(assigned)
+        self._row_assigned[assigned] = True
         for i in range(n_emitted):
             members = self._order[
                 sorted_idx[bounds[i] : bounds[i + 1]]
@@ -901,3 +1072,7 @@ class ClusterGenerator:
             )
         self._emitted_total += n_emitted
         self.peak_valley_ratio = float(pvrs[n_emitted - 1])
+        if compact_to is not None:
+            self._do_compact(compact_to)
+            if self._assigned_total < self.n_points:
+                self._launch()
