@@ -147,6 +147,10 @@ def bench_clustering() -> tuple[float, dict]:
         next(warm)
         gen = vc.ClusterGenerator(matrix, lengths, normalized=True, **kwargs)
         it = iter(gen)
+        # force the one-time host->device upload (which a full run amortizes
+        # over hundreds of dispatches) to finish before the clock starts
+        float(gen.matrixT[0, 0])
+        float(gen.lengths[0])
         t0 = time.time()
         emitted = 0
         for _ in range(N_CLUSTERS):

@@ -16,9 +16,11 @@ import jax
 import jax.numpy as jnp
 
 from vamb_tpu.ops.pallas_cluster import (
+    _pick_tile,
     candidate_density_sweep,
     medoid_sweep,
     pallas_pad_multiple,
+    row_sweep,
 )
 
 PREC = jax.lax.Precision.HIGHEST
@@ -75,6 +77,31 @@ class TestMedoidSweep:
         np.testing.assert_allclose(hist, hr, rtol=1e-6)
         np.testing.assert_allclose(float(dens), float(densr), rtol=1e-5)
         assert int(n_close) == int(ncr)
+
+
+class TestRowSweep:
+    @pytest.mark.parametrize("idx", [0, 123, 4095])
+    def test_matches_xla(self, idx):
+        n = pallas_pad_multiple()
+        mT, _ = make_data(n, seed=3)
+        d = row_sweep(mT, idx, interpret=True)
+        dr = 0.5 - jnp.einsum(
+            "fn,f->n", mT, mT[:, idx], precision=PREC,
+            preferred_element_type=jnp.float32,
+        )
+        dr = dr.at[idx].set(0.0)
+        np.testing.assert_allclose(d, dr, atol=2e-7)
+        assert float(d[idx]) == 0.0
+
+
+class TestPickTile:
+    def test_divides_and_budget(self):
+        for f_pad, n_pad in [(32, 1 << 20), (40, 4096), (288, 1 << 19),
+                             (32, 128 * 3), (8, 1 << 16)]:
+            t = _pick_tile(f_pad, n_pad)
+            assert n_pad % t == 0
+            assert t <= 32768
+            assert t == 128 or f_pad * t * 4 <= (4 << 20)
 
 
 class TestCandidateDensitySweep:

@@ -293,6 +293,7 @@ def _make_emit_batch(
     maxsteps: int,
     batch_clusters: int,
     distance_dtype=jnp.float32,
+    use_pallas: bool = False,
 ):
     """Build the fused device program emitting up to `batch_clusters` clusters.
 
@@ -303,6 +304,11 @@ def _make_emit_batch(
     K = batch_clusters
     C = maxsteps
     pdf = jnp.asarray(_NORMALPDF)
+    if use_pallas:
+        from vamb_tpu.ops.pallas_cluster import (
+            candidate_density_sweep,
+            row_sweep,
+        )
     # f32 sweeps use HIGHEST precision (bins are 0.005 wide); the opt-in
     # bf16 path halves HBM traffic at ~1e-4 mean distance error.
     _prec = (
@@ -365,6 +371,8 @@ def _make_emit_batch(
         iota = jnp.arange(N)
         density0 = density_of(d0, lengths, kept)
         tried0 = jnp.zeros(N, bool).at[seed].set(True)
+        if use_pallas:
+            wk = jnp.where(kept, lengths, 0.0)  # kept is frozen per attempt
 
         def cond(carry):
             return ~carry[0]
@@ -383,29 +391,35 @@ def _make_emit_batch(
                 _, cand = jax.lax.top_k(score, C)
             cand_valid = elig[cand]
 
-            rows = matrixT[:, cand]  # (F, C)
-            D = 0.5 - jnp.einsum(
-                "fc,fn->cn", rows, matrixT, precision=_prec,
-                preferred_element_type=jnp.float32,
-            )
-            # Self-distance handling without materializing a zeroed copy of
-            # the (C, N) matrix: the self column's term is written directly
-            # (lengths * (r - 0) ≡ lengths * r, bit-identical), all other
-            # columns use the raw distances.
-            self_m = iota[None, :] == cand[:, None]
-            kept_b = kept[None, :]
-            dens = jnp.sum(
-                jnp.where(
-                    self_m & kept_b,
-                    lengths[None, :] * _MEDOID_RADIUS,
+            if use_pallas:
+                # One matrix pass, no (C, N) distance matrix in HBM; the
+                # kernel's column-id == candidate-id zeroing reproduces the
+                # XLA path's explicit self term (w * (r - 0)).
+                dens = candidate_density_sweep(matrixT, cand, wk)
+            else:
+                rows = matrixT[:, cand]  # (F, C)
+                D = 0.5 - jnp.einsum(
+                    "fc,fn->cn", rows, matrixT, precision=_prec,
+                    preferred_element_type=jnp.float32,
+                )
+                # Self-distance handling without materializing a zeroed copy
+                # of the (C, N) matrix: the self column's term is written
+                # directly (lengths * (r - 0) ≡ lengths * r, bit-identical),
+                # all other columns use the raw distances.
+                self_m = iota[None, :] == cand[:, None]
+                kept_b = kept[None, :]
+                dens = jnp.sum(
                     jnp.where(
-                        (D <= _MEDOID_RADIUS) & kept_b & ~self_m,
-                        lengths[None, :] * (_MEDOID_RADIUS - D),
-                        0.0,
+                        self_m & kept_b,
+                        lengths[None, :] * _MEDOID_RADIUS,
+                        jnp.where(
+                            (D <= _MEDOID_RADIUS) & kept_b & ~self_m,
+                            lengths[None, :] * (_MEDOID_RADIUS - D),
+                            0.0,
+                        ),
                     ),
-                ),
-                axis=1,
-            )
+                    axis=1,
+                )
             better = cand_valid & (dens > density)
             any_better = jnp.any(better)
             j = jnp.argmax(better)
@@ -415,17 +429,32 @@ def _make_emit_batch(
             tried = tried.at[mark_idx].set(True, mode="drop")
 
             medoid = jnp.where(any_better, cand[j], medoid)
-            # D rows are raw; the jump target's self-distance is forced to
-            # exactly 0 here (the zeroed-copy variant did it matrix-wide)
-            d_jump = jnp.where(iota == cand[j], 0.0, D[j])
-            d = jnp.where(any_better, d_jump, d)
+            if use_pallas:
+                # the jump row is computed only on steps that jump (the
+                # kernel never materialized the (C, N) matrix to slice)
+                d = jax.lax.cond(
+                    any_better,
+                    lambda: row_sweep(matrixT, cand[j]),
+                    lambda: d,
+                )
+            else:
+                # D rows are raw; the jump target's self-distance is forced
+                # to exactly 0 here (the zeroed-copy variant did it
+                # matrix-wide)
+                d_jump = jnp.where(iota == cand[j], 0.0, D[j])
+                d = jnp.where(any_better, d_jump, d)
             density = jnp.where(any_better, dens[j], density)
             done = ~any_better
+            # pallas jump steps recompute the winner's row (one extra sweep)
+            row_extra = (
+                jnp.where(any_better, jnp.float32(N), 0.0) if use_pallas else 0.0
+            )
             # `upto` is exactly the number of candidates the reference's
             # one-at-a-time sampler would have evaluated this step
             return (
                 done, medoid, d, density, tried, key,
-                n_dists + C * N, n_dists_eff + upto.astype(jnp.float32) * N,
+                n_dists + C * N + row_extra,
+                n_dists_eff + upto.astype(jnp.float32) * N,
             )
 
         init = (
@@ -755,6 +784,7 @@ class ClusterGenerator:
         compact: bool = True,
         compact_min_pad: int = 1 << 16,
         compact_async: bool = True,
+        wander_kernel: str = "auto",
     ):
         if matrix.dtype != np.float32:
             raise ValueError("Matrix must be of dtype float32")
@@ -774,8 +804,31 @@ class ClusterGenerator:
         if not normalized:
             matrix = normalize(matrix, inplace=destroy)
 
+        if distance_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"distance_dtype must be float32/bfloat16, not {distance_dtype}")
+        ddtype = jnp.bfloat16 if distance_dtype == "bfloat16" else jnp.float32
+        if wander_kernel not in ("auto", "pallas", "xla"):
+            raise ValueError(f"wander_kernel must be auto/pallas/xla, not {wander_kernel}")
+
         n, f = matrix.shape
+        # Pallas wander path: TPU-only (CPU — where the parity oracles run —
+        # and sharded meshes keep the XLA expressions; see
+        # ops/pallas_cluster.py). "auto" also requires a matrix large enough
+        # for the kernels' per-pass savings to beat their fixed overhead.
+        use_pallas = wander_kernel == "pallas" or (
+            wander_kernel == "auto"
+            and jax.default_backend() == "tpu"
+            and mesh is None
+            and ddtype == jnp.float32
+            and n >= (1 << 16)
+            and maxsteps <= 32  # the candidate kernel's row-padding limit
+        )
         col_tile = _LANES * (mesh.devices.size if mesh is not None else 1)
+        if use_pallas:
+            # the kernels' (tile//128, 128) output blocks need tile >= 1024;
+            # padding every (ladder) size to a 32768 multiple guarantees
+            # power-of-two tiles up to the VMEM budget (<= 3.2% waste)
+            col_tile = max(col_tile, 32768)
         n_pad = _pad_to(n, col_tile)
         f_pad = _pad_to(f, _SUBLANES)
         # Rows are stored in descending-length (seed) order so the on-device
@@ -800,10 +853,6 @@ class ClusterGenerator:
                 a, NamedSharding(mesh, P(axis))
             )
             put_repl = lambda a: jax.device_put(a, NamedSharding(mesh, P()))  # noqa: E731
-
-        if distance_dtype not in ("float32", "bfloat16"):
-            raise ValueError(f"distance_dtype must be float32/bfloat16, not {distance_dtype}")
-        ddtype = jnp.bfloat16 if distance_dtype == "bfloat16" else jnp.float32
 
         self.n_points = n
         self.maxsteps = maxsteps
@@ -837,7 +886,7 @@ class ClusterGenerator:
         )
         self._emit_batch = _make_emit_batch(
             n, windowsize, minsuccesses, min(maxsteps, n_pad), batch_clusters,
-            distance_dtype=ddtype,
+            distance_dtype=ddtype, use_pallas=use_pallas,
         )
         self._pending: list[Cluster] = []
         self._emitted_total = 0

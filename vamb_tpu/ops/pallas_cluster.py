@@ -1,47 +1,42 @@
 """Pallas TPU kernels for the clustering engine's distance inner loops.
 
 The BASELINE north star names "Pallas kernels for the pairwise-distance /
-density-peak inner loop" explicitly; these are they. Two fused kernels
-replace the XLA einsum + broadcast-compare pipeline (measured on v5e, see
-bench A/B in the repo README):
+density-peak inner loop" explicitly; these are they. The engine's wander
+step needs, per iteration, (a) the local density of C candidate medoids
+and (b) the full distance row of the chosen jump target. XLA fuses the
+density reduce into the (C, F) x (F, N) dot (kind=kOutput fusion) but must
+*materialize the (C, N) distance matrix in HBM* to do it — ~234 MB of
+traffic per step at 1M x 32. The kernels here avoid that:
 
-1. ``medoid_sweep``: for one medoid row, a single pass over the (F, N)
-   latent matrix that computes, without materializing intermediates in HBM:
-     * the distance vector d = 0.5 - row . x  (written out once),
-     * the 60-bin length-weighted histogram of d in [0, 0.3],
-     * the length-weighted local density  sum(w * (0.05 - d), d <= 0.05),
-     * the strict-neighbor count          count(d < 0.05, kept).
+1. ``candidate_density_sweep``: densities of C candidates in ONE pass over
+   the matrix, no (C, N) matrix in HBM (~132 MB of traffic).
+2. ``row_sweep``: the distance row of one medoid (self-distance zeroed) in
+   one pass — run only on the steps that actually jump.
+3. ``medoid_sweep``: one medoid's distance row + 60-bin length-weighted
+   histogram + density + strict-neighbor count fused in one pass (the
+   full "attempt payload"; kept for A/B and as an alternative epilogue).
 
-2. ``candidate_density_sweep``: the medoid-wander step. For C candidate
-   rows at once, an MXU (C, F) x (F, TILE) matmul per tile with the
-   density reduction fused, WITHOUT writing the (C, N) distance matrix to
-   HBM at all (the XLA path materializes and re-reads it).
+Numbers of record (v5e-1, 1M x 32 f32, from jax.profiler device traces —
+wall-clock probes through the tunneled runtime carry a ~0.5 ms dispatch
+floor that masks sub-ms ops; see tests/dispatch_probe.py):
 
-A/B of record (v5e, 1M x 40 f32, in-program scan timing — run
-`python bench.py --pallas-ab`):
+    XLA fused dot+density (writes D):      0.41 ms / step
+    candidate_density_sweep (tile 32768):  0.185 ms / step   (2.2x)
+    row_sweep:                             ~0.19 ms / jump
 
-    XLA attempt payload (matvec+hist+stats):   ~1.6 ms
-    Pallas fused medoid_sweep:                 ~1.6 ms   (parity)
-    XLA wander step (C-row matmul, D kept):    ~1.5 ms
-    Pallas candidate_density (no D in HBM):    ~1.0 ms   (1.5x faster)
-
-XLA fuses the histogram/density reductions into the matvec pass already,
-so the fused sweep is at parity; the candidate sweep wins by not writing
-the (C, N) distance matrix, but the engine's batched wander REUSES the
-jump target's distance row from that matrix, so adopting it would re-add
-one matvec per jump step (~1.3 ms) — a net loss whenever a wander jumps
-at least ~40% of steps. The engine therefore keeps the XLA path as the
-default; these kernels carry the measured evidence and remain available
-for shapes/backends where the tradeoff flips.
+The engine (vamb_tpu/cluster.py) uses 1+2 for its wander loop on TPU when
+unsharded; the XLA expressions remain the reference semantics and the
+path used on CPU (where the parity oracles run) and under a sharded mesh
+(GSPMD partitions the einsum; pallas_call would need a shard_map port).
 
 Layout contract (matches the engine): the latent matrix is transposed and
 padded to (F_pad, N_pad) with F_pad a multiple of 8 and N_pad a multiple
 of 128; "removed" points carry weight 0 in `wts` (= lengths * kept).
 
-Numerics: the dot products here accumulate in f32 in a fixed order that
-differs from the XLA einsum by ulps. The CPU/parity path keeps the XLA
-engine; these kernels are enabled on TPU only (single-device; the sharded
-path stays on GSPMD-compiled XLA).
+Numerics: dot products accumulate f32 on the MXU in a tile order that
+differs from the XLA einsum by ulps, so TPU results can differ from the
+CPU/XLA path in ulp-tie decisions — the same class of divergence the
+mantissa-masking contract already accepts across backends.
 """
 
 from functools import partial
@@ -59,37 +54,58 @@ _MEDOID_RADIUS = 0.05
 _HIST_PAD = 64  # bins padded to a power of two for the scratch layout
 
 _LANES = 128
-_TILE_N = 4096  # lane columns per grid step
+_SWEEP_TILE = 4096  # medoid_sweep's histogram scratch is (64, TILE): keep small
+_C_PAD = 32  # candidate rows padded to the f32 sublane-tile multiple
+_MAX_TILE = 32768
+_VMEM_BLOCK_BUDGET = 4 << 20  # bytes for one matrix block (double-buffered)
+
+
+def _pick_tile(f_pad: int, n_pad: int) -> int:
+    """Largest power-of-two-x-128 tile dividing n_pad under the VMEM budget.
+
+    Bigger tiles amortize per-grid-step overhead (measured: 4096 -> 32768
+    is 1.4x at 1M x 32); the budget keeps (f_pad, TILE) f32 blocks (and
+    their double buffers) inside VMEM for wide latents (AAE uses F=283).
+    """
+    tile = _LANES
+    while (
+        tile * 2 <= _MAX_TILE
+        and n_pad % (tile * 2) == 0
+        and f_pad * tile * 2 * 4 <= _VMEM_BLOCK_BUDGET
+    ):
+        tile *= 2
+    return tile
 
 
 def _medoid_sweep_kernel(
     rows_ref,  # VMEM (8, F) f32: medoid row in row 0, rest zero
     idx_ref,  # SMEM (1, 1) i32: medoid column index (d[idx] forced to 0)
-    m_ref,  # VMEM (F, TILE_N): matrix tile
-    w_ref,  # VMEM (1, TILE_N): lengths * kept for this tile
-    d_ref,  # VMEM out (TILE_N/128, 128): distances, contiguous blocks
-    hist_ref,  # VMEM out (HIST_PAD, TILE_N): per-column partial histogram
-    dens_ref,  # VMEM out (1, TILE_N): per-column partial density
-    close_ref,  # VMEM out (1, TILE_N): per-column partial neighbor count
-    hist_scr,  # VMEM scratch (HIST_PAD, TILE_N)
-    dens_scr,  # VMEM scratch (1, TILE_N)
-    close_scr,  # VMEM scratch (1, TILE_N)
+    m_ref,  # VMEM (F, TILE): matrix tile
+    w_ref,  # VMEM (1, TILE): lengths * kept for this tile
+    d_ref,  # VMEM out (TILE/128, 128): distances, contiguous blocks
+    hist_ref,  # VMEM out (HIST_PAD, TILE): per-column partial histogram
+    dens_ref,  # VMEM out (1, TILE): per-column partial density
+    close_ref,  # VMEM out (1, TILE): per-column partial neighbor count
+    hist_scr,  # VMEM scratch (HIST_PAD, TILE)
+    dens_scr,  # VMEM scratch (1, TILE)
+    close_scr,  # VMEM scratch (1, TILE)
 ):
     i = pl.program_id(0)
     n_steps = pl.num_programs(0)
+    tile = m_ref.shape[1]
 
-    # distances via MXU: (8, F) x (F, TILE_N); only row 0 carries the medoid
+    # distances via MXU: (8, F) x (F, TILE); only row 0 carries the medoid
     D = 0.5 - jnp.dot(rows_ref[:], m_ref[:], preferred_element_type=jnp.float32)
     d = D[0:1, :]
 
     # force d[idx] = 0 exactly, matching the engine's at[idx].set(0.0)
     # (the self-distance must land in bin 0, not fail the d >= 0 gate)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, _TILE_N), 1)
-    col = i * _TILE_N + lanes
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    col = i * tile + lanes
     d = jnp.where(col == idx_ref[0, 0], 0.0, d)
-    # contiguous (TILE_N/128, 128) blocks: per-tile 1-sublane HBM writes
+    # contiguous (TILE/128, 128) blocks: per-tile 1-sublane HBM writes
     # are pathologically slow on v5e, this reshape keeps the DMA dense
-    d_ref[:] = d.reshape(_TILE_N // _LANES, _LANES)
+    d_ref[:] = d.reshape(tile // _LANES, _LANES)
 
     w = w_ref[:]
     kept = w > 0.0
@@ -101,7 +117,7 @@ def _medoid_sweep_kernel(
         close_scr[:] = jnp.zeros_like(close_scr)
 
     # histogram: per-bin column rows accumulated across tiles, elementwise;
-    # the (64, TILE_N) -> (64,) reduction happens once, outside the kernel
+    # the (64, TILE) -> (64,) reduction happens once, outside the kernel
     wmask = jnp.where((d >= 0.0) & (d <= _XMAX) & kept, w, 0.0)
     bins = jnp.clip((d / _DELTA_X).astype(jnp.int32), 0, _NBINS - 1)
     for k in range(_NBINS):
@@ -130,8 +146,8 @@ def medoid_sweep(matrixT, idx, wts, interpret=False):
     Returns: (d (N_pad,), hist (60,), density scalar, n_close scalar i32).
     """
     f_pad, n_pad = matrixT.shape
-    assert n_pad % _TILE_N == 0, n_pad
-    steps = n_pad // _TILE_N
+    tile = min(_pick_tile(f_pad, n_pad), _SWEEP_TILE)
+    steps = n_pad // tile
     rows8 = jnp.zeros((8, f_pad), jnp.float32).at[0].set(matrixT[:, idx])
     idx_arr = jnp.asarray(idx, jnp.int32).reshape(1, 1)
 
@@ -144,38 +160,38 @@ def medoid_sweep(matrixT, idx, wts, interpret=False):
             ),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (f_pad, _TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM
+                (f_pad, tile), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, _TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM
+                (1, tile), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (_TILE_N // _LANES, _LANES),
+                (tile // _LANES, _LANES),
                 lambda i: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (_HIST_PAD, _TILE_N), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (_HIST_PAD, tile), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, _TILE_N), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (1, tile), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, _TILE_N), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (1, tile), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_pad // _LANES, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((_HIST_PAD, _TILE_N), jnp.float32),
-            jax.ShapeDtypeStruct((1, _TILE_N), jnp.float32),
-            jax.ShapeDtypeStruct((1, _TILE_N), jnp.float32),
+            jax.ShapeDtypeStruct((_HIST_PAD, tile), jnp.float32),
+            jax.ShapeDtypeStruct((1, tile), jnp.float32),
+            jax.ShapeDtypeStruct((1, tile), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_HIST_PAD, _TILE_N), jnp.float32),
-            pltpu.VMEM((1, _TILE_N), jnp.float32),
-            pltpu.VMEM((1, _TILE_N), jnp.float32),
+            pltpu.VMEM((_HIST_PAD, tile), jnp.float32),
+            pltpu.VMEM((1, tile), jnp.float32),
+            pltpu.VMEM((1, tile), jnp.float32),
         ],
         interpret=interpret,
     )(rows8, idx_arr, matrixT, wts.reshape(1, n_pad))
@@ -187,43 +203,84 @@ def medoid_sweep(matrixT, idx, wts, interpret=False):
     )
 
 
-_C_PAD = 32  # candidate rows padded to the f32 sublane-tile multiple
+def _row_sweep_kernel(rows_ref, idx_ref, m_ref, d_ref):
+    i = pl.program_id(0)
+    tile = m_ref.shape[1]
+    D = 0.5 - jnp.dot(rows_ref[:], m_ref[:], preferred_element_type=jnp.float32)
+    d = D[0:1, :]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    d = jnp.where(i * tile + lanes == idx_ref[0, 0], 0.0, d)
+    d_ref[:] = d.reshape(tile // _LANES, _LANES)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def row_sweep(matrixT, idx, interpret=False):
+    """Distance row of one medoid, self-distance forced to exactly 0.
+
+    One pass over the matrix, writing only the (N_pad,) row — the jump-step
+    companion of ``candidate_density_sweep`` (the XLA wander step gets this
+    row as a slice of the (C, N) matrix it materializes; this path never
+    materializes that matrix).
+    """
+    f_pad, n_pad = matrixT.shape
+    tile = _pick_tile(f_pad, n_pad)
+    rows8 = jnp.zeros((8, f_pad), jnp.float32).at[0].set(matrixT[:, idx])
+    idx_arr = jnp.asarray(idx, jnp.int32).reshape(1, 1)
+    d = pl.pallas_call(
+        _row_sweep_kernel,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((8, f_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (f_pad, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile // _LANES, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad // _LANES, _LANES), jnp.float32),
+        interpret=interpret,
+    )(rows8, idx_arr, matrixT)
+    return d.reshape(n_pad)
 
 
 def _candidate_density_kernel(
     cand_ref,  # VMEM (C_PAD, 128) i32: candidate ids, repeated along lanes
     rows_ref,  # VMEM (C_PAD, F): candidate feature rows
-    m_ref,  # VMEM (F, TILE_N): matrix tile
-    w_ref,  # VMEM (1, TILE_N): lengths * kept
-    dens_ref,  # VMEM out (C_PAD,): densities, written at the last step
-    dens_scr,  # VMEM scratch (C_PAD, TILE_N): elementwise accumulator
+    m_ref,  # VMEM (F, TILE): matrix tile
+    w_ref,  # VMEM (1, TILE): lengths * kept
+    dens_ref,  # VMEM out (C_PAD, 128): densities in lane 0
+    acc,  # VMEM scratch (C_PAD, 128): running per-candidate partials
 ):
     i = pl.program_id(0)
     n_steps = pl.num_programs(0)
+    tile = m_ref.shape[1]
 
-    d = 0.5 - jnp.dot(
+    D = 0.5 - jnp.dot(
         rows_ref[:], m_ref[:], preferred_element_type=jnp.float32
-    )  # (C_PAD, TILE_N) via MXU
+    )  # (C_PAD, TILE) via MXU, VMEM-resident only
 
     # zero self-distances: column id == candidate id per row
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (_C_PAD, _TILE_N), 1)
-    col = i * _TILE_N + lanes
-    cand = cand_ref[:, 0:1]  # (C_PAD, 1)
-    d = jnp.where(col == cand, 0.0, d)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (_C_PAD, tile), 1)
+    Dz = jnp.where(i * tile + lanes == cand_ref[:, 0:1], 0.0, D)
+
+    w = w_ref[:]
+    part = jnp.sum(
+        jnp.where((Dz <= _MEDOID_RADIUS) & (w > 0.0), w * (_MEDOID_RADIUS - Dz), 0.0),
+        axis=1,
+        keepdims=True,
+    )  # (C_PAD, 1)
 
     @pl.when(i == 0)
     def _init():
-        dens_scr[:] = jnp.zeros_like(dens_scr)
+        acc[:] = jnp.zeros_like(acc)
 
-    w = w_ref[0, :].reshape(1, _TILE_N)
-    kept = w > 0.0
-    dens_scr[:] += jnp.where(
-        (d <= _MEDOID_RADIUS) & kept, w * (_MEDOID_RADIUS - d), 0.0
-    )
+    acc[:, 0:1] += part
 
     @pl.when(i == n_steps - 1)
     def _finish():
-        dens_ref[:] = jnp.sum(dens_scr[:], axis=1)
+        dens_ref[:] = acc[:]
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -239,7 +296,7 @@ def candidate_density_sweep(matrixT, cand, wts, interpret=False):
     Returns: dens (C,) f32.
     """
     f_pad, n_pad = matrixT.shape
-    assert n_pad % _TILE_N == 0, n_pad
+    tile = _pick_tile(f_pad, n_pad)
     (c,) = cand.shape
     assert c <= _C_PAD, c
     cand_pad = jnp.concatenate(
@@ -250,7 +307,7 @@ def candidate_density_sweep(matrixT, cand, wts, interpret=False):
         matrixT[:, jnp.clip(cand_pad, 0, n_pad - 1)].T,
         0.0,
     )
-    steps = n_pad // _TILE_N
+    steps = n_pad // tile
 
     dens = pl.pallas_call(
         _candidate_density_kernel,
@@ -263,17 +320,20 @@ def candidate_density_sweep(matrixT, cand, wts, interpret=False):
                 (_C_PAD, f_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (f_pad, _TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM
+                (f_pad, tile), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, _TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM
+                (1, tile), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (_C_PAD,), lambda i: (0,), memory_space=pltpu.VMEM
+            (_C_PAD, _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((_C_PAD,), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((_C_PAD, _TILE_N), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((_C_PAD, _LANES), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_C_PAD, _LANES), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
         interpret=interpret,
     )(
         jnp.broadcast_to(cand_pad[:, None], (_C_PAD, _LANES)),
@@ -281,9 +341,9 @@ def candidate_density_sweep(matrixT, cand, wts, interpret=False):
         matrixT,
         wts.reshape(1, n_pad),
     )
-    return dens[:c]
+    return dens[:c, 0]
 
 
 def pallas_pad_multiple() -> int:
     "Column padding the fused kernels require of the engine."
-    return _TILE_N
+    return _SWEEP_TILE
