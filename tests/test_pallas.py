@@ -1,12 +1,11 @@
 """Correctness tests for the Pallas clustering kernels (interpret mode).
 
-The kernels run compiled only on TPU; here they execute through the Pallas
-interpreter on the CPU mesh against the engine's XLA reference expressions.
-On-chip validation + A/B timings live in bench.py (--pallas-ab) and the
-repo README; measured on v5e the XLA fusion wins the single-medoid sweep
-while the candidate sweep is ~1.5-2x faster in Pallas (but loses the
-(C, N) distance rows the engine's batched wander reuses), so the engine
-default remains the XLA path — see ops/pallas_cluster.py docstring.
+The kernels run compiled only on TPU, where they are the engine's default
+wander path (wander_kernel="auto"); here they execute through the Pallas
+interpreter on the CPU mesh against the engine's XLA reference
+expressions, which remain the CPU/sharded/bf16 path. On-chip validation +
+trace-based timings live in the repo README and ops/pallas_cluster.py's
+docstring (candidate sweep 0.185 ms vs 0.41 ms XLA at 1M x 32 on v5e).
 """
 
 import numpy as np
