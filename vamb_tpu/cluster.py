@@ -589,70 +589,157 @@ def _make_emit_batch(
             )
             state = state._replace(order_pos=seed + 1)
 
-            key, sub = jax.random.split(state.key)
-            state = state._replace(key=key)
-            medoid, d, n_dists, n_dists_eff = wander(
-                matrixT, lengths, state.kept, seed, d0, sub,
-                state.n_dists, state.n_dists_eff,
-            )
-            # histogram pass reuses the wander distances in the reference,
-            # so only raw count includes it
-            state = state._replace(
-                n_dists=n_dists + N, n_dists_eff=n_dists_eff
-            )
+            # Loner burst: when the seed has NO other kept point within the
+            # medoid radius, the attempt is fully determined — wander is a
+            # no-op (no candidates), the cluster is a loner, and neither the
+            # pvr window nor the histogram matter. Because a loner has no
+            # neighbor within the radius, removing it cannot change any
+            # other point's neighborhood, so consecutive cached seeds that
+            # are loners can all be emitted in ONE attempt iteration,
+            # emission-identical to sequential play (the parity oracle
+            # asserts this), with the RNG key advanced once per emitted
+            # loner exactly as the per-attempt splits would. This turns the
+            # loner-dominated tail from one full iteration per point into
+            # up to _SPEC_SEEDS emits per iteration.
+            is_burst = jnp.sum((d0 <= _MEDOID_RADIUS) & state.kept) == 1
+            slot0 = slot
 
-            n_close = jnp.sum((d < _MEDOID_RADIUS) & state.kept)
-            hist = histogram(d, lengths, state.kept)
-            thr, opvr, found = find_threshold(hist, state.pvr)
+            def burst_branch(args):
+                state, recs = args
+                # a cached row's distances never change; kept-masked
+                # neighbor counts decide loner-ness per slot
+                close = jnp.sum(
+                    (state.spec_d <= _MEDOID_RADIUS) & state.kept[None, :],
+                    axis=1,
+                )
+                flags = close == 1
 
-            is_loner = n_close == 1
-            is_normal = (~is_loner) & found
-            is_fallback = (~is_loner) & (~found) & (state.pvr > 0.55)
-            is_reject = (~is_loner) & (~found) & (state.pvr <= 0.55)
+                def it(s, carry):
+                    state, recs, cont = carry
+                    seed_s = state.spec_seeds[s]
+                    in_range = s >= slot0
+                    alive = (seed_s >= 0) & state.kept[seed_s]
+                    emit_s = (
+                        cont
+                        & in_range
+                        & alive
+                        & flags[s]
+                        & (recs.n_emitted < K)
+                    )
+                    # dead slots were clustered since the cache fill; the
+                    # scan would skip them, so the burst skips them too
+                    skip_s = cont & in_range & ~alive
+                    cont = jnp.where(in_range, emit_s | skip_s, cont)
+                    st = jnp.int32(1) * emit_s
+                    state = state._replace(
+                        kept=state.kept.at[seed_s].set(
+                            jnp.where(emit_s, False, state.kept[seed_s])
+                        ),
+                        labels=state.labels.at[seed_s].set(
+                            jnp.where(emit_s, state.next_cid, state.labels[seed_s])
+                        ),
+                        n_remaining=state.n_remaining - st,
+                        next_cid=state.next_cid + st,
+                        order_pos=jnp.where(emit_s, seed_s + 1, state.order_pos),
+                        key=jnp.where(
+                            emit_s, jax.random.split(state.key)[0], state.key
+                        ),
+                        # mirror the sequential loner attempt's accounting:
+                        # one seed sweep (effective) + one histogram pass
+                        n_dists=state.n_dists + st * N,
+                        n_dists_eff=state.n_dists_eff + st * N,
+                    )
+                    i = recs.n_emitted
 
-            sel_loner = jnp.zeros(N, bool).at[medoid].set(True) & state.kept
-            radius = jnp.where(
-                is_normal, thr, jnp.where(is_fallback, _DEFAULT_RADIUS, jnp.nan)
-            )
-            sel_thr = (d <= jnp.where(jnp.isnan(radius), -1.0, radius)) & state.kept
-            sel = jnp.where(is_loner, sel_loner, sel_thr)
-            emitted = ~is_reject
+                    def w(arr, val):
+                        return arr.at[i].set(jnp.where(emit_s, val, arr[i]))
 
-            # success accounting BEFORE recording (reference emits the
-            # then-current successes/attempts into the Cluster record, but
-            # updates the window before returning for normal clusters at
-            # :599-600 -> actually after constructing the record; we record
-            # pre-update values to match :589-598)
-            state, recs = emit(
-                state,
-                recs,
-                sel,
-                emitted,
-                medoid,
-                seed,
-                jnp.where(
-                    is_loner,
-                    _KIND_LONER,
-                    jnp.where(is_fallback, _KIND_FALLBACK, _KIND_NORMAL),
-                ),
-                radius,
-                jnp.where(is_normal, opvr, jnp.nan),
-            )
+                    recs = _Records(
+                        medoid=w(recs.medoid, seed_s),
+                        seed=w(recs.seed, seed_s),
+                        kind=w(recs.kind, _KIND_LONER),
+                        radius=w(recs.radius, jnp.nan),
+                        observed_pvr=w(recs.observed_pvr, jnp.nan),
+                        pvr=w(recs.pvr, state.pvr),
+                        successes=w(recs.successes, state.successes),
+                        attempts=w(recs.attempts, state.attempts_len),
+                        n_emitted=i + st,
+                    )
+                    return state, recs, cont
 
-            # pvr feedback: False on reject; True on normal emit while
-            # pvr<0.55. update_successes only touches the success-window
-            # fields, so only those are merged (never the big arrays).
-            do_update = is_reject | (is_normal & (state.pvr < 0.55))
-            upd_state = update_successes(state, is_normal & (state.pvr < 0.55))
-            state = state._replace(
-                attempts=jnp.where(do_update, upd_state.attempts, state.attempts),
-                attempts_len=jnp.where(do_update, upd_state.attempts_len, state.attempts_len),
-                attempts_head=jnp.where(do_update, upd_state.attempts_head, state.attempts_head),
-                successes=jnp.where(do_update, upd_state.successes, state.successes),
-                pvr=jnp.where(do_update, upd_state.pvr, state.pvr),
-                order_pos=jnp.where(do_update, upd_state.order_pos, state.order_pos),
-            )
-            return state, recs
+                state, recs, _ = jax.lax.fori_loop(
+                    0, _SPEC_SEEDS, it, (state, recs, True)
+                )
+                return state, recs
+
+            def normal_branch(args):
+                state, recs = args
+                key, sub = jax.random.split(state.key)
+                state = state._replace(key=key)
+                medoid, d, n_dists, n_dists_eff = wander(
+                    matrixT, lengths, state.kept, seed, d0, sub,
+                    state.n_dists, state.n_dists_eff,
+                )
+                # histogram pass reuses the wander distances in the
+                # reference, so only raw count includes it
+                state = state._replace(
+                    n_dists=n_dists + N, n_dists_eff=n_dists_eff
+                )
+
+                n_close = jnp.sum((d < _MEDOID_RADIUS) & state.kept)
+                hist = histogram(d, lengths, state.kept)
+                thr, opvr, found = find_threshold(hist, state.pvr)
+
+                is_loner = n_close == 1
+                is_normal = (~is_loner) & found
+                is_fallback = (~is_loner) & (~found) & (state.pvr > 0.55)
+                is_reject = (~is_loner) & (~found) & (state.pvr <= 0.55)
+
+                sel_loner = jnp.zeros(N, bool).at[medoid].set(True) & state.kept
+                radius = jnp.where(
+                    is_normal, thr, jnp.where(is_fallback, _DEFAULT_RADIUS, jnp.nan)
+                )
+                sel_thr = (d <= jnp.where(jnp.isnan(radius), -1.0, radius)) & state.kept
+                sel = jnp.where(is_loner, sel_loner, sel_thr)
+                emitted = ~is_reject
+
+                # success accounting BEFORE recording (reference emits the
+                # then-current successes/attempts into the Cluster record,
+                # but updates the window before returning for normal
+                # clusters at :599-600 -> actually after constructing the
+                # record; we record pre-update values to match :589-598)
+                state, recs = emit(
+                    state,
+                    recs,
+                    sel,
+                    emitted,
+                    medoid,
+                    seed,
+                    jnp.where(
+                        is_loner,
+                        _KIND_LONER,
+                        jnp.where(is_fallback, _KIND_FALLBACK, _KIND_NORMAL),
+                    ),
+                    radius,
+                    jnp.where(is_normal, opvr, jnp.nan),
+                )
+
+                # pvr feedback: False on reject; True on normal emit while
+                # pvr<0.55. update_successes only touches the success-window
+                # fields, so only those are merged (never the big arrays).
+                do_update = is_reject | (is_normal & (state.pvr < 0.55))
+                upd_state = update_successes(state, is_normal & (state.pvr < 0.55))
+                state = state._replace(
+                    attempts=jnp.where(do_update, upd_state.attempts, state.attempts),
+                    attempts_len=jnp.where(do_update, upd_state.attempts_len, state.attempts_len),
+                    attempts_head=jnp.where(do_update, upd_state.attempts_head, state.attempts_head),
+                    successes=jnp.where(do_update, upd_state.successes, state.successes),
+                    pvr=jnp.where(do_update, upd_state.pvr, state.pvr),
+                    order_pos=jnp.where(do_update, upd_state.order_pos, state.order_pos),
+                )
+                return state, recs
+
+            return jax.lax.cond(is_burst, burst_branch, normal_branch, (state, recs))
 
         def cond(carry):
             state, recs = carry
@@ -959,11 +1046,20 @@ class ClusterGenerator:
         return None
 
     def _spawn_precompile(self) -> None:
-        "Pre-compile the next ladder size's program on a background thread."
+        """Pre-compile the next ladder size's program on a background thread.
+
+        Spawned lazily — only once survivors are within 1.5x of the next
+        ladder size (a quarter of the way to the halving trigger) — so runs
+        that never shrink that far don't pay for compiles they won't use,
+        and abandoned generators don't block interpreter exit. Threads are
+        non-daemon: a daemon thread inside an XLA compile at interpreter
+        exit aborts the process."""
         if not (self._compact_enabled and self._compact_async):
             return
         target = self._next_target()
         if target is None or target in self._ready_exec or target in self._compiling:
+            return
+        if (self.n_points - self._assigned_total) * 2 > 3 * target:
             return
         self._compiling.add(target)
 
@@ -975,7 +1071,7 @@ class ClusterGenerator:
 
         import threading
 
-        threading.Thread(target=work, daemon=True).start()
+        threading.Thread(target=work, daemon=False).start()
 
     def _lower_for(self, n_pad: int):
         "AOT-compile the emit program for a compacted size."
@@ -1077,6 +1173,7 @@ class ClusterGenerator:
             self._launch()
         ints_d, flts_d, delta_d = self._inflight
         self._inflight = None
+        self._spawn_precompile()
         compact_to = self._compaction_target_ready()
         if compact_to is None and self._assigned_total < self.n_points:
             self._launch()
