@@ -22,6 +22,15 @@ cannot be expressed by chaining per-leaf optax transforms — it is a single
 custom transformation. All state lives on device; the step is jit-safe and
 works under pjit/shard_map (the scalar reductions become cross-shard psums
 automatically when params are sharded).
+
+TPU note: the optimizer state (m, v, s) is stored FLAT and gradients are
+raveled once per step, so the global reductions (<g, s/(sqrt(v)+eps)> and
+||s||_1) and the moment updates are a handful of fused ops instead of
+4 reductions + 4 elementwise passes *per parameter leaf* — on small MLPs
+those per-leaf launches dominated the training step (measured: ~60% of a
+VAE epoch). Summation order within the reductions changes (a flat sum vs
+per-leaf partial sums), which moves the d trajectory by float32 ulps —
+the same class of reorder the XLA-vs-BLAS backends already introduce.
 """
 
 from typing import NamedTuple, Optional
@@ -30,12 +39,13 @@ import chex
 import jax
 import jax.numpy as jnp
 import optax
+from jax.flatten_util import ravel_pytree
 
 
 class DAdaptAdamState(NamedTuple):
-    m: optax.Updates  # first moment, with d*lr folded in
-    v: optax.Updates  # second moment
-    s: optax.Updates  # weighted gradient sum
+    m: jax.Array  # first moment (flat), with d*lr folded in
+    v: jax.Array  # second moment (flat)
+    s: jax.Array  # weighted gradient sum (flat)
     d: jax.Array  # scalar estimate of initial distance to solution
     numerator_weighted: jax.Array  # scalar
     count: jax.Array
@@ -58,7 +68,8 @@ def dadapt_adam(
     sqrt_b2 = b2**0.5
 
     def init_fn(params: optax.Params) -> DAdaptAdamState:
-        zeros = lambda: jax.tree.map(jnp.zeros_like, params)  # noqa: E731
+        flat, _ = ravel_pytree(params)
+        zeros = lambda: jnp.zeros_like(flat)  # noqa: E731
         return DAdaptAdamState(
             m=zeros(),
             v=zeros(),
@@ -76,23 +87,17 @@ def dadapt_adam(
         if weight_decay != 0.0:
             chex.assert_trees_all_equal_structs(grads, params)
         dlr = state.d * learning_rate
+        g, unravel = ravel_pytree(grads)
 
         # numerator increment uses the *previous* s and v
-        def leaf_dot(g, s, v):
-            return jnp.sum(g * (s / (jnp.sqrt(v) + eps)))
-
-        delta_num = jax.tree.reduce(
-            jnp.add, jax.tree.map(leaf_dot, grads, state.s, state.v)
-        )
+        delta_num = jnp.sum(g * (state.s / (jnp.sqrt(state.v) + eps)))
         numerator = sqrt_b2 * state.numerator_weighted + (1 - sqrt_b2) * dlr * delta_num
 
-        m = jax.tree.map(lambda m_, g: b1 * m_ + (1 - b1) * dlr * g, state.m, grads)
-        v = jax.tree.map(lambda v_, g: b2 * v_ + (1 - b2) * g * g, state.v, grads)
-        s = jax.tree.map(
-            lambda s_, g: sqrt_b2 * s_ + (1 - sqrt_b2) * dlr * g, state.s, grads
-        )
+        m = b1 * state.m + (1 - b1) * dlr * g
+        v = b2 * state.v + (1 - b2) * g * g
+        s = sqrt_b2 * state.s + (1 - sqrt_b2) * dlr * g
 
-        sk_l1 = jax.tree.reduce(jnp.add, jax.tree.map(lambda x: jnp.sum(jnp.abs(x)), s))
+        sk_l1 = jnp.sum(jnp.abs(s))
         d_hat = numerator / ((1 - sqrt_b2) * jnp.maximum(sk_l1, 1e-30))
         if growth_rate is not None:
             d_hat = jnp.minimum(d_hat, state.d * growth_rate)
@@ -100,11 +105,11 @@ def dadapt_adam(
             (sk_l1 > 0) & (learning_rate > 0), jnp.maximum(state.d, d_hat), state.d
         )
 
-        updates = jax.tree.map(lambda m_, v_: -m_ / (jnp.sqrt(v_) + eps), m, v)
+        flat_updates = -m / (jnp.sqrt(v) + eps)
         if weight_decay != 0.0:
-            updates = jax.tree.map(
-                lambda u, p: u - weight_decay * dlr * p, updates, params
-            )
+            flat_p, _ = ravel_pytree(params)
+            flat_updates = flat_updates - weight_decay * dlr * flat_p
+        updates = unravel(flat_updates)
 
         new_state = DAdaptAdamState(
             m=m, v=v, s=s, d=new_d, numerator_weighted=numerator, count=state.count + 1
