@@ -179,12 +179,30 @@ def bench_clustering() -> tuple[float, dict]:
         "cluster_timed_clusters": emitted,
     }
 
+    if "--no-full-run" not in sys.argv:
+        # complete 1M-point run (all ~2000 clusters): exercises pipelined
+        # dispatch, loner bursts and device-side matrix compaction end to
+        # end — the regime the per-window dists/s metric can't see
+        gen_f = vc.ClusterGenerator(matrix, lengths, normalized=True)
+        float(gen_f.matrixT[0, 0])
+        t0 = time.time()
+        n_full = sum(1 for _ in gen_f)
+        dt_full = time.time() - t0
+        print(
+            f"[bench] clustering full run: {n_full} clusters "
+            f"({N} points) in {dt_full:.1f}s -> {n_full / dt_full:.1f} "
+            f"clusters/s end-to-end",
+            file=sys.stderr,
+        )
+        metrics["cluster_full_run_wall_s_1M"] = dt_full
+        metrics["cluster_full_run_clusters_1M"] = n_full
+
     # opt-in bfloat16 distance mode (halves sweep HBM traffic; ~1e-3
     # distance error): measured only with --bf16 — it costs a second
     # full program compile (minutes cold through the tunnel), and on the
-    # current toolchain it measures ~20% *slower* than f32 (the f32
-    # sweep is already HBM-bound and the bf16 path adds a cast);
-    # kept for backends/toolchains where the tradeoff flips.
+    # current toolchain it measures slower than f32 (the f32 sweep is
+    # already HBM-bound and the bf16 path adds a cast, and the Pallas
+    # wander kernels are f32-only); kept for backends where it flips.
     if "--bf16" not in sys.argv:
         return rate, metrics
     gen16, emitted16, dt16 = timed_run(distance_dtype="bfloat16")
