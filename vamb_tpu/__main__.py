@@ -14,6 +14,32 @@ import sys
 for _var in ("MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS", "OMP_NUM_THREADS"):
     os.environ.setdefault(_var, str(min(os.cpu_count() or 1, 8)))
 
+
+def _enable_compile_cache() -> None:
+    """Persist compiled XLA programs across CLI invocations.
+
+    Every stage compiles a handful of fixed-shape programs (TNF projection,
+    per-batch-size training epochs, the clustering engine and its compaction
+    ladder); on TPU a cold compile costs tens of seconds, so re-runs and
+    stage-cached restarts should never pay it twice."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "VAMB_TPU_COMPILE_CACHE",
+            os.path.join(
+                os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+                "vamb_tpu_jax_cache",
+            ),
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 import time
 from functools import partial
 from pathlib import Path

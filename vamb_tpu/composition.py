@@ -152,7 +152,9 @@ class Composition:
             raise ValueError(f"Minlength must be at least 4, not {minlength}")
 
         if use_device:
-            project = project_fourmers
+            from .ops.tnf import load_tnf_kernel, project_fourmers_device
+
+            kernel = load_tnf_kernel()
         else:
             from .ops.tnf import project_fourmers_numpy
 
@@ -163,11 +165,28 @@ class Composition:
         lengths = PushArray(np.int32)
         mask = bytearray()
         contignames: list[str] = list()
+        # Device path: every flush is padded to one fixed shape so exactly
+        # ONE projection program is ever compiled (data-dependent flush
+        # sizes would recompile per chunk — tens of seconds per fresh
+        # dataset), and chunks stay on device with their host copies
+        # in flight, overlapping the next chunk's parsing.
+        flush_rows = -(-(_RAW_BUFFER_FLOATS // 256 + 1) // 128) * 128  # tile-friendly
+        device_chunks: list = []
+        chunk_valid: list[int] = []
 
         def flush():
             raw_mat = raw.take().reshape(-1, 256)
-            projected.extend(project(raw_mat).ravel())
             raw.clear()
+            n_rows = raw_mat.shape[0]
+            if n_rows == 0:
+                return
+            if not use_device:
+                projected.extend(project(raw_mat).ravel())
+                return
+            padded = np.zeros((flush_rows, 256), np.float32)
+            padded[:n_rows] = raw_mat
+            device_chunks.append(project_fourmers_device(padded, kernel))
+            chunk_valid.append(n_rows)
 
         for entry in byte_iterfasta(filehandle, filename):
             length = len(entry)
@@ -194,7 +213,16 @@ class Composition:
             contignames.append(entry.identifier)
 
         flush()
-        tnfs_arr = projected.take()
+        if use_device and device_chunks:
+            # flat, owning array (filter_min_length resizes it in place)
+            tnfs_arr = np.concatenate(
+                [
+                    np.asarray(chunk)[:valid].reshape(-1)
+                    for chunk, valid in zip(device_chunks, chunk_valid)
+                ]
+            )
+        else:
+            tnfs_arr = projected.take()
         mask_lower_bits(tnfs_arr, 12)
 
         assert tnfs_arr.shape[0] % 103 == 0

@@ -39,6 +39,22 @@ def project_fourmers(fourmers: np.ndarray, kernel: np.ndarray = None) -> np.ndar
     return np.asarray(out, dtype=np.float32)
 
 
+def project_fourmers_device(fourmers: np.ndarray, kernel: np.ndarray = None):
+    """Like `project_fourmers` but returns the device array without pulling,
+    with the device->host copy already started — the streaming extractor
+    overlaps these transfers with parsing the next chunk and gathers all
+    chunks at the end (one sync instead of one per flush)."""
+    if kernel is None:
+        kernel = load_tnf_kernel()
+    assert fourmers.dtype == np.float32
+    out = _project_jit(fourmers, kernel)
+    try:
+        out.copy_to_host_async()
+    except Exception:
+        pass
+    return out
+
+
 def project_fourmers_numpy(fourmers: np.ndarray, kernel: np.ndarray = None) -> np.ndarray:
     "Host (numpy/BLAS) fallback of `project_fourmers`; mutates its input."
     if kernel is None:
