@@ -5,7 +5,12 @@ import random
 import numpy as np
 import pytest
 
-from vamb_tpu.utils.kmers import _kmercounts_numpy, _load_native, kmercounts
+from vamb_tpu.utils.kmers import (
+    _kmercounts_numpy,
+    _load_native,
+    kmercounts,
+    kmercounts_batch,
+)
 
 pytestmark = pytest.mark.skipif(
     not _load_native(), reason="native libvambops.so not built"
@@ -20,6 +25,19 @@ def test_native_matches_numpy_random():
         ).encode()
         seq = seq.replace(b" ", b"A").replace(b"\t", b"C")  # bytes only
         np.testing.assert_array_equal(kmercounts(seq), _kmercounts_numpy(seq))
+
+
+def test_batch_matches_single():
+    rng = random.Random(7)
+    seqs = [
+        "".join(rng.choices("ACGTNacgtn", k=rng.randint(0, 500))).encode()
+        for _ in range(40)
+    ]
+    batch = kmercounts_batch(seqs)
+    assert batch.shape == (40, 256)
+    for i, s in enumerate(seqs):
+        np.testing.assert_array_equal(batch[i], kmercounts(s))
+    assert kmercounts_batch([]).shape == (0, 256)
 
 
 def test_known_counts():

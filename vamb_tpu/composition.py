@@ -15,6 +15,7 @@ import numpy as np
 from .ops.tnf import project_fourmers
 from .utils import PushArray, RefHasher, byte_iterfasta, mask_lower_bits
 from .utils.arrays import numpy_inplace_maskarray, validate_input_array
+from .utils.kmers import kmercounts_batch
 
 # Flush raw counts to the device projection whenever this many float32s
 # accumulate (1000 contigs' worth; reference uses 256_000 at :202).
@@ -160,31 +161,46 @@ class Composition:
 
             project = project_fourmers_numpy
 
-        raw = PushArray(np.float32)
         projected = PushArray(np.float32)
         lengths = PushArray(np.int32)
         mask = bytearray()
         contignames: list[str] = list()
-        # Device path: every flush is padded to one fixed shape so exactly
-        # ONE projection program is ever compiled (data-dependent flush
-        # sizes would recompile per chunk — tens of seconds per fresh
-        # dataset), and chunks stay on device with their host copies
-        # in flight, overlapping the next chunk's parsing.
-        flush_rows = -(-(_RAW_BUFFER_FLOATS // 256 + 1) // 128) * 128  # tile-friendly
+        # Sequences are buffered and 4-mer-counted in ONE native call per
+        # flush (per-contig ctypes overhead dominated count time for short
+        # contigs). Device path: every flush is padded to one fixed shape
+        # so exactly ONE projection program is ever compiled
+        # (data-dependent flush sizes would recompile per chunk — tens of
+        # seconds per fresh dataset), and chunks stay on device with their
+        # host copies in flight, overlapping the next chunk's parsing.
+        flush_contigs = _RAW_BUFFER_FLOATS // 256  # 1000
+        flush_rows = -(-(flush_contigs + 1) // 128) * 128  # tile-friendly
+        seq_buf: list[bytes] = []
+        hdr_buf: list[str] = []
         device_chunks: list = []
         chunk_valid: list[int] = []
 
         def flush():
-            raw_mat = raw.take().reshape(-1, 256)
-            raw.clear()
-            n_rows = raw_mat.shape[0]
+            n_rows = len(seq_buf)
             if n_rows == 0:
                 return
+            counts_mat = kmercounts_batch(seq_buf).astype(np.float32)
+            sums = counts_mat.sum(axis=1)
+            if (sums == 0).any():
+                bad = hdr_buf[int(np.argmax(sums == 0))]
+                raise ValueError(
+                    f'TNF value of contig "{bad}" is all zeros. '
+                    "This implies that the sequence contained no 4-mers of A, C, G, T "
+                    "or U, making this sequence uninformative. This is probably a "
+                    "mistake. Verify that the sequence contains usable information "
+                    "(e.g. is not all N's)"
+                )
+            seq_buf.clear()
+            hdr_buf.clear()
             if not use_device:
-                projected.extend(project(raw_mat).ravel())
+                projected.extend(project(counts_mat).ravel())
                 return
             padded = np.zeros((flush_rows, 256), np.float32)
-            padded[:n_rows] = raw_mat
+            padded[:n_rows] = counts_mat
             device_chunks.append(project_fourmers_device(padded, kernel))
             chunk_valid.append(n_rows)
 
@@ -195,18 +211,9 @@ class Composition:
             if skip:
                 continue
 
-            counts = entry.kmercounts()
-            if counts.sum() == 0:
-                raise ValueError(
-                    f'TNF value of contig "{entry.header}" is all zeros. '
-                    "This implies that the sequence contained no 4-mers of A, C, G, T "
-                    "or U, making this sequence uninformative. This is probably a "
-                    "mistake. Verify that the sequence contains usable information "
-                    "(e.g. is not all N's)"
-                )
-            raw.extend(counts)
-
-            if len(raw) > _RAW_BUFFER_FLOATS:
+            seq_buf.append(bytes(entry.sequence))
+            hdr_buf.append(entry.header)
+            if len(seq_buf) >= flush_contigs:
                 flush()
 
             lengths.append(len(entry))

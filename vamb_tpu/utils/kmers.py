@@ -50,6 +50,13 @@ def _load_native():
             ctypes.POINTER(ctypes.c_uint32),
         ]
         lib.kmercounts4.restype = None
+        lib.kmercounts4_batch.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.kmercounts4_batch.restype = None
         _NATIVE = lib
         return lib
     except OSError:
@@ -83,3 +90,30 @@ def kmercounts(sequence: bytes) -> np.ndarray:
         )
         return counts
     return _kmercounts_numpy(sequence)
+
+
+def kmercounts_batch(seqs: list) -> np.ndarray:
+    """Count 4-mers of many sequences in ONE native call: (len(seqs), 256)
+    uint32. Identical per-row results to `kmercounts`; the batch entry
+    point exists because per-contig ctypes call overhead dominated the
+    count time for short contigs (the streaming extractor counts ~1000
+    contigs per flush)."""
+    n = len(seqs)
+    out = np.zeros((n, 256), dtype=np.uint32)
+    if n == 0:
+        return out
+    lib = _load_native()
+    if not lib:
+        for i, s in enumerate(seqs):
+            out[i] = _kmercounts_numpy(s)
+        return out
+    blob = b"".join(seqs)
+    offsets = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum([len(s) for s in seqs], out=offsets[1:])
+    lib.kmercounts4_batch(
+        blob,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return out
