@@ -143,8 +143,14 @@ def bench_clustering() -> tuple[float, dict]:
         """Compile-warm one generator, then time a FRESH generator from its
         first cluster: with decode/compute pipelining, any pre-iterated
         warmup would hand the timed window already-computed batches."""
-        warm = iter(vc.ClusterGenerator(matrix, lengths, normalized=True, **kwargs))
-        next(warm)
+        warm_gen = vc.ClusterGenerator(matrix, lengths, normalized=True, **kwargs)
+        next(iter(warm_gen))
+        # drain the warm generator's speculative in-flight batch and drop
+        # its HBM buffers so nothing queues ahead of the timed window
+        if warm_gen._inflight is not None:
+            for arr in warm_gen._inflight:
+                np.asarray(arr)
+        del warm_gen
         gen = vc.ClusterGenerator(matrix, lengths, normalized=True, **kwargs)
         it = iter(gen)
         # force the one-time host->device upload (which a full run amortizes

@@ -33,7 +33,6 @@ del warm
 
 gen = vc.ClusterGenerator(matrix, lengths, normalized=True)
 
-orig_asarray = np.asarray
 t_prev = time.perf_counter()
 print(f"{'batch':>5} {'wall_ms':>8} {'pull_ms':>8} {'decode_ms':>9} "
       f"{'emitted':>7} {'attempts':>8} {'pvr':>5}")
@@ -60,7 +59,8 @@ for b in range(N_DISPATCHES):
     print(
         f"{b:5d} {(t_dec - t_prev) * 1e3:8.1f} {(t_pull - t_launch) * 1e3:8.1f} "
         f"{(t_dec - t_pull) * 1e3:9.1f} {n_emitted:7d} "
-        f"{int(ints[5 * K - 1]):8d} {flts[3 * K - 1]:5.2f}"
+        f"{int(ints[4 * K + n_emitted - 1]):8d} "
+        f"{flts[2 * K + n_emitted - 1]:5.2f}"
     )
     t_prev = t_dec
 

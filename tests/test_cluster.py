@@ -51,6 +51,12 @@ class TestClusterGenerator:
             ClusterGenerator(matrix, lengths, minsuccesses=0)
         with pytest.raises(ValueError):
             ClusterGenerator(matrix, lengths[:-1])
+        with pytest.raises(ValueError):
+            ClusterGenerator(matrix, lengths, wander_kernel="nope")
+        # forcing the Pallas kernels off-TPU (tests run on CPU) must be a
+        # constructor error, not an opaque lowering failure
+        with pytest.raises(ValueError):
+            ClusterGenerator(matrix, lengths, wander_kernel="pallas")
 
     def test_full_partition(self):
         "Every input index appears in exactly one emitted cluster."

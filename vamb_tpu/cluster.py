@@ -297,9 +297,14 @@ def _make_emit_batch(
 ):
     """Build the fused device program emitting up to `batch_clusters` clusters.
 
-    Signature: emit_batch(matrixT (F,N), lengths (N,), order (n_points,),
-    state) -> (state, records). `matrixT` is the transposed, normalized,
-    padded latent matrix.
+    Signature: emit_batch(matrixT (F,N), lengths (N,), state) ->
+    (state, ints (5K+1,) i32, flts (3K+3,) f32, delta (N,) uint). `matrixT`
+    is the transposed, normalized, padded latent matrix. `ints` packs
+    [medoid, seed, kind, successes, attempts_len, n_emitted]; `flts` packs
+    [radius, observed_pvr, pvr, n_dists, n_dists_eff, post-batch pvr];
+    `delta` holds batch-local cluster ids + 1 (0 = not assigned this
+    batch) — the packing exists so one dispatch costs three host
+    transfers, decoded by ClusterGenerator._dispatch.
     """
     K = batch_clusters
     C = maxsteps
@@ -770,8 +775,9 @@ def _make_emit_batch(
                 recs.n_emitted[None],
             ]
         )
-        # Distance counters ride along so the host-side properties reflect
-        # exactly the decoded batches (and never force a device sync).
+        # Distance counters and the post-batch pvr ride along so the
+        # host-side properties reflect exactly the decoded batches (and
+        # never force a device sync).
         flts = jnp.concatenate(
             [
                 recs.radius,
@@ -779,6 +785,7 @@ def _make_emit_batch(
                 recs.pvr,
                 state.n_dists[None],
                 state.n_dists_eff[None],
+                state.pvr[None],
             ]
         )
         delta = jnp.where(
@@ -902,6 +909,22 @@ class ClusterGenerator:
         # and sharded meshes keep the XLA expressions; see
         # ops/pallas_cluster.py). "auto" also requires a matrix large enough
         # for the kernels' per-pass savings to beat their fixed overhead.
+        if wander_kernel == "pallas":
+            # forcing the kernels must honor the same constraints "auto"
+            # checks — otherwise failures surface as opaque lowering errors
+            problems = []
+            if jax.default_backend() != "tpu":
+                problems.append("requires a TPU backend")
+            if mesh is not None:
+                problems.append("does not support a sharded mesh")
+            if ddtype != jnp.float32:
+                problems.append("requires float32 distances")
+            if maxsteps > 32:
+                problems.append("requires maxsteps <= 32")
+            if problems:
+                raise ValueError(
+                    "wander_kernel='pallas' " + "; ".join(problems)
+                )
         use_pallas = wander_kernel == "pallas" or (
             wander_kernel == "auto"
             and jax.default_backend() == "tpu"
@@ -1217,7 +1240,7 @@ class ClusterGenerator:
                 )
             )
         self._emitted_total += n_emitted
-        self.peak_valley_ratio = float(pvrs[n_emitted - 1])
+        self.peak_valley_ratio = float(flts[3 * K + 2])
         if compact_to is not None:
             self._do_compact(compact_to)
             if self._assigned_total < self.n_points:

@@ -12,7 +12,6 @@ from typing import IO, Iterable, Optional, Sequence, TypeVar, Union
 
 import numpy as np
 
-from .ops.tnf import project_fourmers
 from .utils import PushArray, RefHasher, byte_iterfasta, mask_lower_bits
 from .utils.arrays import numpy_inplace_maskarray, validate_input_array
 from .utils.kmers import kmercounts_batch

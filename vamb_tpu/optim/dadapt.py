@@ -19,9 +19,11 @@ load-bearing and is reproduced here exactly:
 Unlike torch Adam there is no bias correction; the d estimate plays that role.
 The d/numerator scalars are global across the whole parameter pytree, so this
 cannot be expressed by chaining per-leaf optax transforms — it is a single
-custom transformation. All state lives on device; the step is jit-safe and
-works under pjit/shard_map (the scalar reductions become cross-shard psums
-automatically when params are sharded).
+custom transformation. All state lives on device and the step is jit-safe.
+The flat layout assumes a uniform parameter dtype (all models here are
+float32 throughout; ravel_pytree would silently promote mixed dtypes) and
+replicated parameters (this package's data-parallel training replicates
+params — sharded-parameter schemes would pay a gather for the ravel).
 
 TPU note: the optimizer state (m, v, s) is stored FLAT and gradients are
 raveled once per step, so the global reductions (<g, s/(sqrt(v)+eps)> and
