@@ -81,7 +81,12 @@ _X_GT_01 = _X_GRID > 0.1  # static: x strictly past 0.1 per bin
 
 _LANES = 128
 _SUBLANES = 8
-_DEFAULT_BATCH = 128  # clusters emitted per device dispatch
+# Clusters emitted per device dispatch. Each dispatch costs a fixed host
+# round trip (~25 ms through a tunneled runtime), and loner bursts make
+# single attempts emit many clusters, so K bounds the tail throughput:
+# a 316k-cluster run at K=128 is 2469 round trips. 1024 keeps the packed
+# record transfers tiny while making round trips negligible.
+_DEFAULT_BATCH = 1024
 
 # Speculative seed cache: distance rows for the next S likely seeds are
 # computed in ONE (S,F)x(F,N) matmul (same cost as a single matvec sweep —
@@ -611,69 +616,110 @@ def _make_emit_batch(
 
             def burst_branch(args):
                 state, recs = args
-                # a cached row's distances never change; kept-masked
-                # neighbor counts decide loner-ness per slot
-                close = jnp.sum(
-                    (state.spec_d <= _MEDOID_RADIUS) & state.kept[None, :],
-                    axis=1,
-                )
-                flags = close == 1
 
-                def it(s, carry):
-                    state, recs, cont = carry
-                    seed_s = state.spec_seeds[s]
-                    in_range = s >= slot0
-                    alive = (seed_s >= 0) & state.kept[seed_s]
-                    emit_s = (
-                        cont
-                        & in_range
-                        & alive
-                        & flags[s]
-                        & (recs.n_emitted < K)
+                def flags_of(st):
+                    # a cached row's distances never change; kept-masked
+                    # neighbor counts decide loner-ness per slot
+                    return (
+                        jnp.sum(
+                            (st.spec_d <= _MEDOID_RADIUS) & st.kept[None, :],
+                            axis=1,
+                        )
+                        == 1
                     )
-                    # dead slots were clustered since the cache fill; the
-                    # scan would skip them, so the burst skips them too
-                    skip_s = cont & in_range & ~alive
-                    cont = jnp.where(in_range, emit_s | skip_s, cont)
-                    st = jnp.int32(1) * emit_s
-                    state = state._replace(
-                        kept=state.kept.at[seed_s].set(
-                            jnp.where(emit_s, False, state.kept[seed_s])
-                        ),
-                        labels=state.labels.at[seed_s].set(
-                            jnp.where(emit_s, state.next_cid, state.labels[seed_s])
-                        ),
-                        n_remaining=state.n_remaining - st,
-                        next_cid=state.next_cid + st,
-                        order_pos=jnp.where(emit_s, seed_s + 1, state.order_pos),
-                        key=jnp.where(
-                            emit_s, jax.random.split(state.key)[0], state.key
-                        ),
-                        # mirror the sequential loner attempt's accounting:
-                        # one seed sweep (effective) + one histogram pass
-                        n_dists=state.n_dists + st * N,
-                        n_dists_eff=state.n_dists_eff + st * N,
+
+                def consume(state, recs, flags, slot_start):
+                    "Emit loner/dead slots from slot_start until a stop."
+
+                    def it(s, carry):
+                        state, recs, cont = carry
+                        seed_s = state.spec_seeds[s]
+                        in_range = s >= slot_start
+                        alive = (seed_s >= 0) & state.kept[seed_s]
+                        emit_s = (
+                            cont
+                            & in_range
+                            & alive
+                            & flags[s]
+                            & (recs.n_emitted < K)
+                        )
+                        # dead slots were clustered since the cache fill;
+                        # the scan would skip them, so the burst does too
+                        skip_s = cont & in_range & ~alive
+                        cont = jnp.where(in_range, emit_s | skip_s, cont)
+                        st = jnp.int32(1) * emit_s
+                        state = state._replace(
+                            kept=state.kept.at[seed_s].set(
+                                jnp.where(emit_s, False, state.kept[seed_s])
+                            ),
+                            labels=state.labels.at[seed_s].set(
+                                jnp.where(
+                                    emit_s, state.next_cid, state.labels[seed_s]
+                                )
+                            ),
+                            n_remaining=state.n_remaining - st,
+                            next_cid=state.next_cid + st,
+                            order_pos=jnp.where(
+                                emit_s, seed_s + 1, state.order_pos
+                            ),
+                            key=jnp.where(
+                                emit_s,
+                                jax.random.split(state.key)[0],
+                                state.key,
+                            ),
+                            # mirror the sequential loner attempt's
+                            # accounting: one seed sweep (effective) + one
+                            # histogram pass
+                            n_dists=state.n_dists + st * N,
+                            n_dists_eff=state.n_dists_eff + st * N,
+                        )
+                        i = recs.n_emitted
+
+                        def w(arr, val):
+                            return arr.at[i].set(jnp.where(emit_s, val, arr[i]))
+
+                        recs = _Records(
+                            medoid=w(recs.medoid, seed_s),
+                            seed=w(recs.seed, seed_s),
+                            kind=w(recs.kind, _KIND_LONER),
+                            radius=w(recs.radius, jnp.nan),
+                            observed_pvr=w(recs.observed_pvr, jnp.nan),
+                            pvr=w(recs.pvr, state.pvr),
+                            successes=w(recs.successes, state.successes),
+                            attempts=w(recs.attempts, state.attempts_len),
+                            n_emitted=i + st,
+                        )
+                        return state, recs, cont
+
+                    return jax.lax.fori_loop(
+                        0, _SPEC_SEEDS, it, (state, recs, True)
                     )
-                    i = recs.n_emitted
 
-                    def w(arr, val):
-                        return arr.at[i].set(jnp.where(emit_s, val, arr[i]))
+                # Outer loop: when every remaining slot was consumed as a
+                # loner (or dead), refill the cache — exactly what the next
+                # sequential attempt's miss would do, at the same order_pos
+                # and with no RNG consumption — and keep bursting. One
+                # matmul + one flags pass per _SPEC_SEEDS loners drains a
+                # loner-dominated tail at full speed.
+                def outer_cond(c):
+                    state, recs, _flags, _start, cont = c
+                    return cont & (recs.n_emitted < K) & (state.n_remaining > 0)
 
-                    recs = _Records(
-                        medoid=w(recs.medoid, seed_s),
-                        seed=w(recs.seed, seed_s),
-                        kind=w(recs.kind, _KIND_LONER),
-                        radius=w(recs.radius, jnp.nan),
-                        observed_pvr=w(recs.observed_pvr, jnp.nan),
-                        pvr=w(recs.pvr, state.pvr),
-                        successes=w(recs.successes, state.successes),
-                        attempts=w(recs.attempts, state.attempts_len),
-                        n_emitted=i + st,
+                def outer_body(c):
+                    state, recs, flags, slot_start, _cont = c
+                    state, recs, cont = consume(state, recs, flags, slot_start)
+                    keep_going = (
+                        cont & (recs.n_emitted < K) & (state.n_remaining > 0)
                     )
-                    return state, recs, cont
+                    state = jax.lax.cond(
+                        keep_going, refill, lambda st: st, state
+                    )
+                    return state, recs, flags_of(state), jnp.int32(0), keep_going
 
-                state, recs, _ = jax.lax.fori_loop(
-                    0, _SPEC_SEEDS, it, (state, recs, True)
+                state, recs, _, _, _ = jax.lax.while_loop(
+                    outer_cond,
+                    outer_body,
+                    (state, recs, flags_of(state), slot0, jnp.bool_(True)),
                 )
                 return state, recs
 
