@@ -214,17 +214,21 @@ def _row_sweep_kernel(rows_ref, idx_ref, m_ref, d_ref):
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def row_sweep(matrixT, idx, interpret=False):
+def row_sweep(matrixT, idx, row=None, interpret=False):
     """Distance row of one medoid, self-distance forced to exactly 0.
 
     One pass over the matrix, writing only the (N_pad,) row — the jump-step
     companion of ``candidate_density_sweep`` (the XLA wander step gets this
     row as a slice of the (C, N) matrix it materializes; this path never
-    materializes that matrix).
+    materializes that matrix). Pass `row` (the (F_pad,) feature row of
+    `idx`) to skip the lane-axis column gather — the engine keeps a
+    row-major matrix copy for exactly that.
     """
     f_pad, n_pad = matrixT.shape
     tile = _pick_tile(f_pad, n_pad)
-    rows8 = jnp.zeros((8, f_pad), jnp.float32).at[0].set(matrixT[:, idx])
+    if row is None:
+        row = matrixT[:, idx]
+    rows8 = jnp.zeros((8, f_pad), jnp.float32).at[0].set(row)
     idx_arr = jnp.asarray(idx, jnp.int32).reshape(1, 1)
     d = pl.pallas_call(
         _row_sweep_kernel,
@@ -284,7 +288,7 @@ def _candidate_density_kernel(
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def candidate_density_sweep(matrixT, cand, wts, interpret=False):
+def candidate_density_sweep(matrixT, cand, wts, cand_rows=None, interpret=False):
     """Densities of C candidate medoids in one matrix pass, no (C, N)
     distance matrix in HBM.
 
@@ -292,6 +296,9 @@ def candidate_density_sweep(matrixT, cand, wts, interpret=False):
       matrixT: (F_pad, N_pad) f32.
       cand: (C,) i32 candidate columns, C <= 32.
       wts: (N_pad,) f32 = lengths * kept.
+      cand_rows: optional (C, F_pad) pre-gathered candidate feature rows —
+        gathering columns along the lane axis of matrixT costs a shuffle
+        pass, so the engine gathers rows from a row-major copy instead.
 
     Returns: dens (C,) f32.
     """
@@ -302,9 +309,13 @@ def candidate_density_sweep(matrixT, cand, wts, interpret=False):
     cand_pad = jnp.concatenate(
         [cand.astype(jnp.int32), jnp.full((_C_PAD - c,), -1, jnp.int32)]
     )
+    if cand_rows is None:
+        cand_rows = matrixT[:, jnp.clip(cand_pad[:c], 0, n_pad - 1)].T
     rows = jnp.where(
         (jnp.arange(_C_PAD) < c)[:, None],
-        matrixT[:, jnp.clip(cand_pad, 0, n_pad - 1)].T,
+        jnp.concatenate(
+            [cand_rows, jnp.zeros((_C_PAD - c, f_pad), jnp.float32)]
+        ),
         0.0,
     )
     steps = n_pad // tile
