@@ -23,9 +23,10 @@ TPU-first architecture (a re-design, not a port):
   roundtrip costs dispatch latency. Here the ENTIRE clustering loop — seed
   scan, medoid wander, histogram, smoothing, valley scan, pvr feedback,
   emission bookkeeping — runs inside a single jitted program
-  (`lax.while_loop`) that emits up to K=128 clusters per call and returns
-  only per-cluster scalar records. Host<->device traffic is O(K scalars +
-  one labels sweep) per batch instead of O(iterations).
+  (`lax.while_loop`) that emits up to K=1024 clusters per call and returns
+  two packed record arrays plus a narrow batch-local label delta.
+  Dispatches are pipelined: the next batch launches before the current
+  one's results are pulled, overlapping host decode with device compute.
 * **Transposed (F, N) layout.** Latent dim (default 32) is far below the
   128-lane TPU tile, so an (N, F) matrix physically pads F to 128 lanes and
   reads 4x the data per matvec. Storing (F, N) puts the big dim on lanes:
@@ -38,9 +39,20 @@ TPU-first architecture (a re-design, not a port):
   cycling scan are computed in one matmul and served to later attempts on
   exact seed-id match (see _SPEC_SEEDS), amortizing the per-attempt seed
   sweep in rejection-heavy phases without touching any decision.
-* **Masking, never packing**: clustered points are masked out of every
-  reduction; shapes are static for the life of the run, so exactly one
-  compiled program is used regardless of dataset size.
+* **Loner bursts.** A seed with no other kept point within the medoid
+  radius is a fully determined attempt (wander is a no-op, the cluster is
+  a loner, no pvr/histogram effects), and removing a loner cannot change
+  any other point's neighborhood — so consecutive cached seeds that are
+  loners are emitted in one iteration, refilling the cache in place (one
+  matmul per _SPEC_SEEDS loners), emission-identical to sequential play.
+* **Pallas wander kernels on TPU** (`ops/pallas_cluster.py`): candidate
+  densities in one matrix pass with no (C, N) distance matrix in HBM, and
+  the jump target's row recomputed only on steps that jump. CPU (where the
+  parity oracles run), sharded meshes and bf16 keep the XLA expressions.
+* **Masking with device-side compaction**: clustered points are masked out
+  of every reduction, and when survivors fall to half the live padded size
+  the surviving columns are gathered into a half-size buffer (programs for
+  the halving ladder pre-compile on a background thread).
 * **Row-sharded on a mesh**: with `mesh=...`, the matrix is sharded over
   the contig axis; distance sweeps compute shard-locally and only the tiny
   reductions (60-bin histogram, densities, top-k candidates) cross the ICI.
