@@ -452,13 +452,15 @@ def _make_emit_batch(
 
             medoid = jnp.where(any_better, cand[j], medoid)
             if use_pallas:
-                # the jump row is computed only on steps that jump (the
-                # kernel never materialized the (C, N) matrix to slice)
-                d = jax.lax.cond(
-                    any_better,
-                    lambda: row_sweep(matrixT, cand[j]),
-                    lambda: d,
-                )
+                # Recompute the (possibly unchanged) medoid's distance row
+                # unconditionally — the kernel never materialized the (C, N)
+                # matrix to slice, and a lax.cond here costs more in branch
+                # result copies than the one extra final-step sweep
+                # (measured 0.06 ms/step of cond overhead vs a 0.02-0.19 ms
+                # sweep). Recomputing the same medoid's row moves the final
+                # d by dot-order ulps vs the carried row — the TPU path's
+                # accepted divergence class.
+                d = row_sweep(matrixT, medoid)
             else:
                 # D rows are raw; the jump target's self-distance is forced
                 # to exactly 0 here (the zeroed-copy variant did it
@@ -467,10 +469,8 @@ def _make_emit_batch(
                 d = jnp.where(any_better, d_jump, d)
             density = jnp.where(any_better, dens[j], density)
             done = ~any_better
-            # pallas jump steps recompute the winner's row (one extra sweep)
-            row_extra = (
-                jnp.where(any_better, jnp.float32(N), 0.0) if use_pallas else 0.0
-            )
+            # pallas steps recompute the medoid's row (one extra sweep)
+            row_extra = jnp.float32(N) if use_pallas else 0.0
             # `upto` is exactly the number of candidates the reference's
             # one-at-a-time sampler would have evaluated this step
             return (
@@ -611,34 +611,39 @@ def _make_emit_batch(
             )
             state = state._replace(order_pos=seed + 1)
 
-            # Loner burst: when the seed has NO other kept point within the
-            # medoid radius, the attempt is fully determined — wander is a
-            # no-op (no candidates), the cluster is a loner, and neither the
-            # pvr window nor the histogram matter. Because a loner has no
-            # neighbor within the radius, removing it cannot change any
-            # other point's neighborhood, so consecutive cached seeds that
-            # are loners can all be emitted in ONE attempt iteration,
-            # emission-identical to sequential play (the parity oracle
-            # asserts this), with the RNG key advanced once per emitted
-            # loner exactly as the per-attempt splits would. This turns the
-            # loner-dominated tail from one full iteration per point into
-            # up to _SPEC_SEEDS emits per iteration.
-            is_burst = jnp.sum((d0 <= _MEDOID_RADIUS) & state.kept) == 1
+            # Loner-seed marker for the burst extension below: the seed has
+            # NO other kept point within the medoid radius, so this attempt
+            # is fully determined (wander is a no-op, the cluster is a
+            # loner, no pvr/histogram effects).
+            seed_is_loner = jnp.sum((d0 <= _MEDOID_RADIUS) & state.kept) == 1
             slot0 = slot
 
-            def burst_branch(args):
-                state, recs = args
-
-                def flags_of(st):
-                    # a cached row's distances never change; kept-masked
-                    # neighbor counts decide loner-ness per slot
-                    return (
-                        jnp.sum(
-                            (st.spec_d <= _MEDOID_RADIUS) & st.kept[None, :],
-                            axis=1,
-                        )
-                        == 1
+            def flags_of(st):
+                # a cached row's distances never change; kept-masked
+                # neighbor counts decide loner-ness per slot
+                return (
+                    jnp.sum(
+                        (st.spec_d <= _MEDOID_RADIUS) & st.kept[None, :],
+                        axis=1,
                     )
+                    == 1
+                )
+
+            def burst_extension(state, recs):
+                """Emit the consecutive cached seeds after a loner seed.
+
+                Because a loner has no neighbor within the radius, removing
+                it cannot change any other point's neighborhood, so cached
+                seeds that are loners can all be emitted right away,
+                emission-identical to sequential play (the parity oracle
+                asserts this), with the RNG key advanced once per emitted
+                loner exactly as the per-attempt splits would. This runs as
+                a plain while loop appended to every attempt — branching
+                instead (lax.cond) costs more in branch-result copies per
+                attempt than the loop's zero-iteration case — and turns the
+                loner-dominated tail from one full iteration per point into
+                up to _SPEC_SEEDS emits per iteration.
+                """
 
                 def consume(state, recs, flags, slot_start):
                     "Emit loner/dead slots from slot_start until a stop."
@@ -728,15 +733,19 @@ def _make_emit_batch(
                     )
                     return state, recs, flags_of(state), jnp.int32(0), keep_going
 
+                ext0 = (
+                    seed_is_loner
+                    & (recs.n_emitted < K)
+                    & (state.n_remaining > 0)
+                )
                 state, recs, _, _, _ = jax.lax.while_loop(
                     outer_cond,
                     outer_body,
-                    (state, recs, flags_of(state), slot0, jnp.bool_(True)),
+                    (state, recs, flags_of(state), slot0 + 1, ext0),
                 )
                 return state, recs
 
-            def normal_branch(args):
-                state, recs = args
+            def normal_attempt(state, recs):
                 key, sub = jax.random.split(state.key)
                 state = state._replace(key=key)
                 medoid, d, n_dists, n_dists_eff = wander(
@@ -802,7 +811,11 @@ def _make_emit_batch(
                 )
                 return state, recs
 
-            return jax.lax.cond(is_burst, burst_branch, normal_branch, (state, recs))
+            # A loner seed flows through the normal attempt unchanged (its
+            # wander has zero iterations and it emits as a loner); the
+            # extension then drains any further consecutive cached loners.
+            state, recs = normal_attempt(state, recs)
+            return burst_extension(state, recs)
 
         def cond(carry):
             state, recs = carry
