@@ -250,7 +250,18 @@ def bench_e2e() -> None:
 
     rng = np.random.default_rng(7)
     t_gen = time.time()
-    genomes = rng.integers(0, 4, (n_genomes, genome_len), dtype=np.uint8)
+    # Genomes carry per-genome composition bias (Dirichlet base
+    # frequencies), as real genomes do (GC content etc.) — uniform-random
+    # genomes all share the same expected TNF, which deletes the
+    # composition signal the binner is built around and makes any
+    # bin-quality readout meaningless.
+    base_probs = rng.dirichlet(np.full(4, 3.0), n_genomes)
+    genomes = np.stack(
+        [
+            rng.choice(4, genome_len, p=base_probs[g]).astype(np.uint8)
+            for g in range(n_genomes)
+        ]
+    )
     lut = np.frombuffer(b"ACGT", dtype=np.uint8)
     lengths = rng.integers(2000, 5001, n_contigs)
     which = rng.integers(0, n_genomes, n_contigs)
@@ -296,12 +307,49 @@ def bench_e2e() -> None:
         ]
     )
     elapsed = time.time() - t0
+
+    # Bin-quality against the known synthetic ground truth (each contig's
+    # source genome): the closest available proxy to the reference's
+    # NC/MQ-bins headline (its CAMI2 data isn't redistributable). A genome
+    # counts as recovered at (recall r, precision p) if some bin contains
+    # >= r of the genome's total bases and >= p of that bin's bases come
+    # from the genome — the same containment logic CheckM-style NC
+    # (>=0.90/0.95) and MQ (>=0.50/0.90) thresholds approximate.
+    bin_of: dict[str, str] = {}
     with open(f"{outdir}/vae_clusters_split.tsv") as f:
-        n_bins = len({line.split("\t")[0] for line in f}) - 1
+        next(f)
+        for line in f:
+            b, c = line.rstrip("\n").split("\t")
+            bin_of[c] = b
+    genome_bases = np.zeros(n_genomes, np.int64)
+    bin_genome_bases: dict[str, dict] = {}
+    bin_total: dict[str, int] = {}
+    for i in range(n_contigs):
+        g, ln = int(which[i]), int(lengths[i])
+        genome_bases[g] += ln
+        b = bin_of.get(f"S{g % n_samples}C{i}")
+        if b is None:
+            continue
+        bin_total[b] = bin_total.get(b, 0) + ln
+        per_g = bin_genome_bases.setdefault(b, {})
+        per_g[g] = per_g.get(g, 0) + ln
+    best_recall_at = {g: {} for g in range(n_genomes)}
+    for b, per_g in bin_genome_bases.items():
+        for g, bases in per_g.items():
+            recall = bases / genome_bases[g]
+            precision = bases / bin_total[b]
+            cur = best_recall_at[g]
+            for p_min in (0.95, 0.90):
+                if precision >= p_min:
+                    cur[p_min] = max(cur.get(p_min, 0.0), recall)
+    nc = sum(1 for g in range(n_genomes) if best_recall_at[g].get(0.95, 0) >= 0.90)
+    mq = sum(1 for g in range(n_genomes) if best_recall_at[g].get(0.90, 0) >= 0.50)
+    n_bins = len(bin_total)
     print(
         f"[bench] e2e: bin default on {n_contigs} contigs x {n_samples} "
         f"samples in {elapsed:.1f}s ({n_contigs / elapsed:.0f} contigs/s "
-        f"end-to-end, {n_bins} split bins)",
+        f"end-to-end, {n_bins} split bins; of {n_genomes} genomes: "
+        f"{nc} NC-like (r>=.90,p>=.95), {mq} MQ-like (r>=.50,p>=.90))",
         file=sys.stderr,
     )
     shutil.rmtree(workdir, ignore_errors=True)
@@ -312,6 +360,11 @@ def bench_e2e() -> None:
                 "value": elapsed,
                 "unit": "s",
                 "vs_baseline": None,
+                "extra_metrics": {
+                    "e2e_nc_like_genomes_of_500": nc,
+                    "e2e_mq_like_genomes_of_500": mq,
+                    "e2e_split_bins": n_bins,
+                },
             }
         )
     )
