@@ -247,6 +247,15 @@ def bench_e2e() -> None:
     n_samples = 10
     n_genomes = 500
     genome_len = 60_000
+    # --hard: subtle composition bias + noisier/fewer abundance profiles —
+    # the easy default is a correctness sentinel (a healthy pipeline
+    # recovers 500/500), the hard variant has dynamic range for tracking
+    # quality changes across rounds.
+    hard = "--hard" in sys.argv
+    dirichlet_alpha = 10.0 if hard else 3.0
+    abundance_sigma = 0.2 if hard else 0.1
+    if hard:
+        n_samples = 5
 
     rng = np.random.default_rng(7)
     t_gen = time.time()
@@ -255,7 +264,7 @@ def bench_e2e() -> None:
     # genomes all share the same expected TNF, which deletes the
     # composition signal the binner is built around and makes any
     # bin-quality readout meaningless.
-    base_probs = rng.dirichlet(np.full(4, 3.0), n_genomes)
+    base_probs = rng.dirichlet(np.full(4, dirichlet_alpha), n_genomes)
     genomes = np.stack(
         [
             rng.choice(4, genome_len, p=base_probs[g]).astype(np.uint8)
@@ -278,7 +287,9 @@ def bench_e2e() -> None:
             f.write(b">S%dC%d\n" % (g % n_samples, i))
             f.write(seq.tobytes())
             f.write(b"\n")
-    depths = profiles[which] * rng.lognormal(0.0, 0.1, (n_contigs, n_samples))
+    depths = profiles[which] * rng.lognormal(
+        0.0, abundance_sigma, (n_contigs, n_samples)
+    )
     with open(tsv_path, "w") as f:
         f.write("contigname\t" + "\t".join(f"s{j}" for j in range(n_samples)))
         f.write("\n")
@@ -356,7 +367,8 @@ def bench_e2e() -> None:
     print(
         json.dumps(
             {
-                "metric": "e2e_bin_default_wall_s_100k_x10",
+                "metric": "e2e_bin_default_wall_s_100k_x10"
+                + ("_hard" if hard else ""),
                 "value": elapsed,
                 "unit": "s",
                 "vs_baseline": None,
