@@ -287,6 +287,11 @@ def add_clustering_arguments(subparser):
         choices=["float32", "bfloat16"],
         help=argparse.SUPPRESS,
     )
+    clusto.add_argument(
+        "--wander_kernel", metavar="", type=str, default="auto",
+        choices=["auto", "pallas", "xla"],
+        help=argparse.SUPPRESS,
+    )
     return subparser
 
 
@@ -401,6 +406,7 @@ def _cluster_options_from_args(args):
         min_successes=args.min_successes,
         max_clusters=args.max_clusters,
         distance_dtype=args.distance_dtype,
+        wander_kernel=args.wander_kernel,
     )
 
 

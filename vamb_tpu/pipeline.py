@@ -128,6 +128,8 @@ class ClusterOptions:
     # TPU-build extension: "bfloat16" halves distance-sweep HBM traffic at
     # ~1e-3 distance error (see tests/test_cluster.py bf16 agreement test)
     distance_dtype: str = "float32"
+    # auto / pallas / xla — see ClusterGenerator(wander_kernel=...)
+    wander_kernel: str = "auto"
 
 
 @dataclass
@@ -336,6 +338,7 @@ def cluster_and_write_files(
         rng_seed=seed,
         mesh=default_mesh(),
         distance_dtype=cluster_options.distance_dtype,
+        wander_kernel=cluster_options.wander_kernel,
     )
     clusters = itertools.islice(generator, cluster_options.max_clusters)
 
