@@ -215,11 +215,11 @@ def bench_clustering() -> tuple[float, dict]:
     # wander kernels are f32-only); kept for backends where it flips.
     if "--bf16" not in sys.argv:
         return rate, metrics
-    gen16, emitted16, dt16 = timed_run(distance_dtype="bfloat16")
+    gen16, _popped16, dt16 = timed_run(distance_dtype="bfloat16")
     rate16 = gen16.n_dists / dt16
     print(
-        f"[bench] clustering bf16: {emitted16} clusters in {dt16:.2f}s "
-        f"-> {rate16:.3g} raw dists/s",
+        f"[bench] clustering bf16: {gen16._emitted_total} clusters in "
+        f"{dt16:.2f}s -> {rate16:.3g} raw dists/s",
         file=sys.stderr,
     )
     metrics["cluster_raw_dists_per_s_1M_bf16_optin"] = rate16
@@ -367,8 +367,11 @@ def bench_e2e() -> None:
     print(
         json.dumps(
             {
-                "metric": "e2e_bin_default_wall_s_100k_x10"
-                + ("_hard" if hard else ""),
+                "metric": (
+                    "e2e_bin_default_wall_s_100k_x5_hard"
+                    if hard
+                    else "e2e_bin_default_wall_s_100k_x10"
+                ),
                 "value": elapsed,
                 "unit": "s",
                 "vs_baseline": None,

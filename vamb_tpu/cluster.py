@@ -47,7 +47,7 @@ TPU-first architecture (a re-design, not a port):
   matmul per _SPEC_SEEDS loners), emission-identical to sequential play.
 * **Pallas wander kernels on TPU** (`ops/pallas_cluster.py`): candidate
   densities in one matrix pass with no (C, N) distance matrix in HBM, and
-  the jump target's row recomputed only on steps that jump. CPU (where the
+  the medoid's row recomputed each step in one pass. CPU (where the
   parity oracles run), sharded meshes and bf16 keep the XLA expressions.
 * **Masking with device-side compaction**: clustered points are masked out
   of every reduction, and when survivors fall to half the live padded size
@@ -914,7 +914,7 @@ class ClusterGenerator:
         normalized: matrix is already normalized
         rng_seed: seed for the candidate-sampling RNG
         mesh: optional 1-D jax Mesh to row-shard the engine over
-        batch_clusters: clusters emitted per device dispatch [128]
+        batch_clusters: clusters emitted per device dispatch [1024]
         compact: shrink the device matrix as points are clustered (see below)
         compact_min_pad: never compact below this padded column count
         compact_async: pre-compile smaller-size programs on a background

@@ -11,7 +11,9 @@ traffic per step at 1M x 32. The kernels here avoid that:
 1. ``candidate_density_sweep``: densities of C candidates in ONE pass over
    the matrix, no (C, N) matrix in HBM (~132 MB of traffic).
 2. ``row_sweep``: the distance row of one medoid (self-distance zeroed) in
-   one pass — run only on the steps that actually jump.
+   one pass — the engine runs it once per wander step for the (possibly
+   unchanged) current medoid; branching on whether the step jumped costs
+   more in lax.cond result copies than the sweep.
 3. ``medoid_sweep``: one medoid's distance row + 60-bin length-weighted
    histogram + density + strict-neighbor count fused in one pass (the
    full "attempt payload"; kept for A/B and as an alternative epilogue).
@@ -22,7 +24,7 @@ floor that masks sub-ms ops; see tests/dispatch_probe.py):
 
     XLA fused dot+density (writes D):      0.41 ms / step
     candidate_density_sweep (tile 32768):  0.185 ms / step   (2.2x)
-    row_sweep:                             ~0.19 ms / jump
+    row_sweep:                             ~0.19 ms / step
 
 The engine (vamb_tpu/cluster.py) uses 1+2 for its wander loop on TPU when
 unsharded; the XLA expressions remain the reference semantics and the
@@ -217,12 +219,14 @@ def _row_sweep_kernel(rows_ref, idx_ref, m_ref, d_ref):
 def row_sweep(matrixT, idx, row=None, interpret=False):
     """Distance row of one medoid, self-distance forced to exactly 0.
 
-    One pass over the matrix, writing only the (N_pad,) row — the jump-step
+    One pass over the matrix, writing only the (N_pad,) row — the per-step
     companion of ``candidate_density_sweep`` (the XLA wander step gets this
     row as a slice of the (C, N) matrix it materializes; this path never
-    materializes that matrix). Pass `row` (the (F_pad,) feature row of
-    `idx`) to skip the lane-axis column gather — the engine keeps a
-    row-major matrix copy for exactly that.
+    materializes that matrix). Callers holding the medoid's (F_pad,)
+    feature row (e.g. from a row-major matrix copy) can pass `row` to skip
+    the lane-axis column gather. (The engine measured *slower* threading a
+    row-major copy through its while loop, so it relies on the in-kernel
+    gather; the parameter remains for other layouts.)
     """
     f_pad, n_pad = matrixT.shape
     tile = _pick_tile(f_pad, n_pad)
@@ -296,9 +300,10 @@ def candidate_density_sweep(matrixT, cand, wts, cand_rows=None, interpret=False)
       matrixT: (F_pad, N_pad) f32.
       cand: (C,) i32 candidate columns, C <= 32.
       wts: (N_pad,) f32 = lengths * kept.
-      cand_rows: optional (C, F_pad) pre-gathered candidate feature rows —
-        gathering columns along the lane axis of matrixT costs a shuffle
-        pass, so the engine gathers rows from a row-major copy instead.
+      cand_rows: optional (C, F_pad) pre-gathered candidate feature rows
+        for callers that hold a row-major matrix copy (the lane-axis
+        column gather otherwise used costs a shuffle pass; the engine
+        measured slower overall with a row-major copy, so it doesn't).
 
     Returns: dens (C,) f32.
     """
