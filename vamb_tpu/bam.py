@@ -26,6 +26,10 @@ def _load_native():
         os.path.dirname(os.path.abspath(__file__)), "native", "libbamcov.so"
     )
     if not os.path.exists(path):
+        from vamb_tpu.native.autobuild import ensure_built
+
+        ensure_built()
+    if not os.path.exists(path):
         raise ImportError(
             f"Native BAM coverage library not found at {path}. "
             "Build it with vamb_tpu/native/build.sh, or provide abundances "

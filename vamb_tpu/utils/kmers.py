@@ -40,6 +40,10 @@ def _load_native():
         "libvambops.so",
     )
     if not os.path.exists(path):
+        from vamb_tpu.native.autobuild import ensure_built
+
+        ensure_built()
+    if not os.path.exists(path):
         _NATIVE = False
         return False
     try:
