@@ -117,6 +117,34 @@ class TestRipOverlaps:
         out = rip_overlaps(bins, LENGTHS)
         assert len(out) == 1 and set().union(*out.values()) == contigs(0, 1)
 
+    def test_zero_length_shared_contig_still_resolved(self):
+        # disjointness must hold even when the only shared contigs carry
+        # length 0 (weight-0 overlap edges must not be skipped)
+        lengths = dict(LENGTHS)
+        lengths["Z"] = 0
+        bins = {"a": contigs(0, 1) | {"Z"}, "b": contigs(2, 3) | {"Z"}}
+        out = rip_overlaps(bins, lengths)
+        seen: set = set()
+        for members in out.values():
+            assert not (members & seen)
+            seen |= members
+        assert "Z" in seen
+
+    def test_many_overlaps_resolve_weakest_first(self):
+        # chain of bins where each consecutive pair shares one contig;
+        # exercises the incremental edge-update path over several rips
+        bins = {
+            f"b{k}": {f"C{k}", f"C{k + 1}", f"X{k}"} for k in range(6)
+        }
+        lengths = {f"C{k}": 1000 + k for k in range(7)}
+        lengths.update({f"X{k}": 5000 for k in range(6)})
+        out = rip_overlaps(bins, lengths)
+        seen: set = set()
+        for members in out.values():
+            assert not (members & seen)
+            seen |= members
+        assert seen == set().union(*bins.values())
+
 
 class TestEnsembleMerge:
     def test_end_to_end(self):
@@ -251,7 +279,7 @@ class TestNcOutputs:
 
         fasta = tmp_path / "contigs.fna"
         fasta.write_text(">A\nACGT\n")
-        with pytest.raises(IndexError, match="missing from input FASTA"):
+        with pytest.raises(KeyError, match="missing from input FASTA"):
             write_nc_outputs(
                 tmp_path / "nc",
                 {"b": {"A", "Z"}},

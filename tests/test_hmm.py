@@ -61,6 +61,14 @@ def test_orf_min_length():
     assert short not in orf.find_genes(contig)
 
 
+def test_orf_min_length_below_default_is_honored():
+    # min_length_nt below the module default must LOWER the floor, not be
+    # silently clamped by the per-frame run filter
+    short = "M" + "K" * 10  # gene = 33 nt incl. start, run = 11 codons
+    contig = b"TAA" + encode_gene(short) + b"TAA"
+    assert short in orf.find_genes(contig, min_length_nt=30)
+
+
 def test_orf_truncated_at_edge():
     # no start codon, no upstream stop: 5'-truncated gene candidate
     prot_no_start = "K" + PROT[1:]

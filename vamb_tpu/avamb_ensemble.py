@@ -170,36 +170,44 @@ def rip_overlaps(
     out = {n: set(c) for n, c in bins.items()}
     sizes = {n: _bin_length(c, length_of) for n, c in out.items()}
 
-    def edges():
-        owners: dict[str, list[str]] = {}
-        for name, contigs in out.items():
-            for contig in contigs:
-                owners.setdefault(contig, []).append(name)
-        pairs = set()
-        for bin_list in owners.values():
-            if len(bin_list) > 1:
-                srt = sorted(bin_list)
-                for i, a in enumerate(srt):
-                    for b in srt[i + 1 :]:
-                        pairs.add((a, b))
-        weighted = []
-        for a, b in pairs:
-            shared_len = _bin_length(out[a] & out[b], length_of)
-            if shared_len == 0:
-                continue
-            weight = shared_len / max(min(sizes[a], sizes[b]), 1)
-            weighted.append((weight, a, b))
-        return sorted(weighted)
+    def weight_of(a: str, b: str) -> float:
+        shared_len = _bin_length(out[a] & out[b], length_of)
+        return shared_len / max(min(sizes[a], sizes[b]), 1)
 
+    # Build the overlap graph once. Edges whose shared contigs all have
+    # length 0 still count (weight 0): disjointness must hold regardless.
+    owners: dict[str, list[str]] = {}
+    for name, contigs in out.items():
+        for contig in contigs:
+            owners.setdefault(contig, []).append(name)
+    pending: dict[tuple[str, str], float] = {}
+    for bin_list in owners.values():
+        if len(bin_list) > 1:
+            srt = sorted(bin_list)
+            for i, a in enumerate(srt):
+                for b in srt[i + 1 :]:
+                    pending.setdefault((a, b), 0.0)
+    for a, b in pending:
+        pending[(a, b)] = weight_of(a, b)
+
+    # Resolve weakest-first. A rip removes the WHOLE intersection from the
+    # loser, so the popped edge is fully resolved each iteration and rips
+    # never create new overlaps — only edges incident to the loser need
+    # their weights refreshed (an O(deg) update instead of rebuilding the
+    # graph, which made the loop quadratic in the number of overlaps).
     n_ripped = 0
-    while True:
-        pending = edges()
-        if not pending:
-            break
-        weight, a, b = pending[0]  # weakest overlap first
+    while pending:
+        weight, (a, b) = min((w, e) for e, w in pending.items())
+        del pending[(a, b)]
         loser = a if sizes[a] >= sizes[b] else b  # larger bin gives up
         out[loser] -= out[a] & out[b]
         sizes[loser] = _bin_length(out[loser], length_of)
+        for edge in [e for e in pending if loser in e]:
+            x, y = edge
+            if out[x] & out[y]:
+                pending[edge] = weight_of(x, y)
+            else:
+                del pending[edge]
         n_ripped += 1
         if weight > weight_threshold:
             logger.info(
@@ -343,7 +351,7 @@ def write_nc_outputs(
             for contig in sorted(contigs):
                 data = bytes_by_id.get(contig)
                 if data is None:
-                    raise IndexError(
+                    raise KeyError(
                         f'Contig "{contig}" in bin missing from input FASTA'
                     )
                 file.write(gzip.decompress(data))
@@ -392,9 +400,17 @@ def run_ensemble_files(
         with open(quality_path) as file:
             qualities = read_checkm2_quality(file)
     elif markers is not None:
+        # Build the union with the same duplicate check ensemble_merge
+        # performs, so a name collision fails fast here instead of after
+        # the expensive marker scoring pass.
         union: dict[str, set[str]] = {}
         for binning in binnings:
-            union.update({k: set(v) for k, v in binning.items()})
+            for name, contigs in binning.items():
+                if name in union:
+                    raise ValueError(
+                        f'Duplicate bin name "{name}" across input binnings'
+                    )
+                union[name] = set(contigs)
         logger.info("\tScoring bins with single-copy marker genes")
         qualities = score_bins_with_markers(markers, union, identifiers)
     else:

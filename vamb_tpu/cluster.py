@@ -128,14 +128,6 @@ _KIND_LONER = 1
 _KIND_FALLBACK = 2
 
 
-class Loner:
-    __slots__ = []
-
-
-class NoThreshold:
-    __slots__ = []
-
-
 class Cluster:
     "One emitted cluster; indices refer to rows of the input matrix."
 
@@ -304,7 +296,6 @@ class _Records(NamedTuple):
 
 
 def _make_emit_batch(
-    n_points: int,
     windowsize: int,
     minsuccesses: int,
     maxsteps: int,
@@ -1066,7 +1057,7 @@ class ClusterGenerator:
             spec_d=put_cols(np.zeros((_SPEC_SEEDS, n_pad), np.float32)),
         )
         self._emit_batch = _make_emit_batch(
-            n, windowsize, minsuccesses, min(maxsteps, n_pad), batch_clusters,
+            windowsize, minsuccesses, min(maxsteps, n_pad), batch_clusters,
             distance_dtype=ddtype, use_pallas=use_pallas,
         )
         self._pending: list[Cluster] = []

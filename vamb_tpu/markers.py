@@ -375,6 +375,8 @@ class NativeBackend(PredictorBackend):
                     proteins.append(protein)
                     gene_contig.append(record.identifier)
 
+        # encode/sort/upload the gene batches once; every profile reuses them
+        encoded = hmm_mod.EncodedProteins(proteins)
         markers: defaultdict[str, set[int]] = defaultdict(set)
         for profile in profiles:
             cutoff = profile.trusted_cutoff
@@ -383,7 +385,7 @@ class NativeBackend(PredictorBackend):
                     f"HMM profile {profile.name!r} has no trusted cutoff (TC)"
                 )
             local = hmm_mod.configure_local(profile)
-            scores = hmm_mod.forward_scores(local, proteins)
+            scores = hmm_mod.forward_scores(local, encoded)
             marker_id = name_to_id[profile.name]
             for gene_idx in np.flatnonzero(scores >= cutoff):
                 markers[gene_contig[gene_idx]].add(marker_id)

@@ -107,13 +107,13 @@ def read_hmms(src: Union[Path, str, IO[str]]) -> list[ProfileHMM]:
             elif line.startswith("HMM "):
                 break
         src.readline()  # transition-name header line
-        pos = src.tell()
+        # optional COMPO line (background composition; the standard
+        # background is used instead) — branch on the tokens rather than
+        # tell/seek so non-seekable streams (pipes) parse too
         first = src.readline().split()
         if first and first[0] == "COMPO":
-            pass  # background composition line; we use the standard background
-        else:
-            src.seek(pos)
-        insert0 = _vals(src.readline().split()[:20])
+            first = src.readline().split()
+        insert0 = _vals(first[:20])
         trans0 = _vals(src.readline().split()[:7])
         match = np.empty((length, 20))
         insert = np.empty((length, 20))
@@ -291,15 +291,48 @@ def _forward_batch(lom, t, tbm, seqs, lengths):
 _FORWARD_JIT = None
 
 
+class EncodedProteins:
+    """Length-sorted, padded, device-resident protein batches.
+
+    Scoring the same gene set against many profiles (the marker pipeline
+    scores ~100 single-copy profiles) re-pays the per-residue encode, the
+    length sort and the host->device upload on every call if the batches
+    are rebuilt per profile — prepare once and pass this to
+    :func:`forward_scores` instead.
+    """
+
+    def __init__(self, proteins: Sequence[str], batch: int = 512):
+        import jax.numpy as jnp
+
+        self.n = len(proteins)
+        self.batches: list[tuple[np.ndarray, object, object]] = []
+        order = np.argsort([len(s) for s in proteins])
+        for lo in range(0, self.n, batch):
+            idx = order[lo : lo + batch]
+            chunk = [proteins[i] for i in idx]
+            pad = max(
+                16, 1 << int(np.ceil(np.log2(max(len(s) for s in chunk) + 1)))
+            )
+            seqs = jnp.asarray(encode_proteins(chunk, pad))
+            lengths = jnp.asarray(
+                [min(len(s), pad) for s in chunk], dtype=jnp.float32
+            )
+            self.batches.append((idx, seqs, lengths))
+
+
 def forward_scores(
-    profile: LocalProfile, proteins: Sequence[str], batch: int = 512
+    profile: LocalProfile,
+    proteins: Union[Sequence[str], EncodedProteins],
+    batch: int = 512,
 ) -> np.ndarray:
     "HMMER bit scores of every protein against one local profile."
     global _FORWARD_JIT
     import jax.numpy as jnp
     from jax import jit
 
-    if not proteins:
+    if not isinstance(proteins, EncodedProteins):
+        proteins = EncodedProteins(proteins, batch=batch)
+    if proteins.n == 0:
         return np.empty(0, dtype=np.float32)
     if _FORWARD_JIT is None:
         _FORWARD_JIT = jit(_forward_batch)
@@ -307,15 +340,7 @@ def forward_scores(
     lom = jnp.asarray(profile.lom, dtype=jnp.float32)
     t = jnp.asarray(np.maximum(profile.t, -1e30), dtype=jnp.float32)
     tbm = jnp.asarray(np.maximum(profile.tbm, -1e30), dtype=jnp.float32)
-    out = np.empty(len(proteins), dtype=np.float32)
-    order = np.argsort([len(s) for s in proteins])
-    for lo in range(0, len(order), batch):
-        idx = order[lo : lo + batch]
-        chunk = [proteins[i] for i in idx]
-        pad = max(16, 1 << int(np.ceil(np.log2(max(len(s) for s in chunk) + 1))))
-        seqs = jnp.asarray(encode_proteins(chunk, pad))
-        lengths = jnp.asarray(
-            [min(len(s), pad) for s in chunk], dtype=jnp.float32
-        )
+    out = np.empty(proteins.n, dtype=np.float32)
+    for idx, seqs, lengths in proteins.batches:
         out[idx] = np.asarray(fn(lom, t, tbm, seqs, lengths))
     return out

@@ -62,7 +62,9 @@ def _codon_ids(codes: np.ndarray, frame: int) -> np.ndarray:
     return ids
 
 
-def _frame_orfs(ids: np.ndarray) -> Iterator[tuple[int, int]]:
+def _frame_orfs(
+    ids: np.ndarray, min_codons: int = MIN_GENE_NT // 3
+) -> Iterator[tuple[int, int]]:
     """Yield candidate (start_codon_idx, end_codon_idx_exclusive) per run.
 
     Runs are maximal stop-free codon stretches.  Interior runs must begin
@@ -72,7 +74,6 @@ def _frame_orfs(ids: np.ndarray) -> Iterator[tuple[int, int]]:
     stop_mask = np.isin(ids, list(_STOP_CODONS))
     stops = np.flatnonzero(stop_mask)
     bounds = np.concatenate(([-1], stops, [len(ids)]))
-    min_codons = MIN_GENE_NT // 3
     for j in range(len(bounds) - 1):
         lo = bounds[j] + 1  # first codon after the previous stop
         hi = bounds[j + 1]  # the stop codon (or one-past-end)
@@ -104,11 +105,12 @@ def find_genes(sequence: bytes, min_length_nt: int = MIN_GENE_NT) -> list[str]:
     the first residue, and HMMER-side local alignment ignores ends).
     """
     arr = np.frombuffer(sequence, dtype=np.uint8)
+    min_codons = max(1, min_length_nt // 3)
     proteins: list[str] = []
     for strand_codes in (_BASE_CODE[arr], _BASE_CODE[_COMPLEMENT[arr][::-1]]):
         for frame in range(3):
             ids = _codon_ids(strand_codes, frame)
-            for begin, end in _frame_orfs(ids):
+            for begin, end in _frame_orfs(ids, min_codons):
                 if (end - begin) * 3 >= min_length_nt:
                     proteins.append(_translate(ids[begin:end]))
     return proteins

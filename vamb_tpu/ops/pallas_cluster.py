@@ -361,5 +361,9 @@ def candidate_density_sweep(matrixT, cand, wts, cand_rows=None, interpret=False)
 
 
 def pallas_pad_multiple() -> int:
-    "Column padding the fused kernels require of the engine."
+    """Smallest column padding the kernels themselves accept (tests pad to
+    this). The ENGINE pads further — to 32768 multiples (cluster.py) — so
+    its compaction ladder keeps power-of-two tiles under the VMEM budget;
+    callers wiring these kernels into other layouts need only this value.
+    """
     return _SWEEP_TILE
