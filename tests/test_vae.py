@@ -194,3 +194,54 @@ def test_checkpoint_every(tmp_path):
     assert len(seen) == 3
     loaded = VAE.load(path)
     np.testing.assert_array_equal(loaded.encode(ds), vae.encode(ds))
+
+
+class TestMetricsDrain:
+    """The async metric drain must emit every line, in order, with values."""
+
+    def test_emits_all_in_order_with_lag(self):
+        import jax.numpy as jnp
+
+        from vamb_tpu.models.training import MetricsDrain
+
+        seen = []
+        drain = MetricsDrain(
+            lambda ep, vals, bs, secs: seen.append((ep, float(vals[0]), bs)),
+            lag=2,
+        )
+        for epoch in range(7):
+            drain.push(epoch, jnp.asarray([float(epoch)]), 256 * (epoch + 1))
+        # with lag=2 exactly the first 5 lines have drained
+        assert [s[0] for s in seen] == [0, 1, 2, 3, 4]
+        drain.flush()
+        assert [s[0] for s in seen] == list(range(7))
+        assert [s[1] for s in seen] == [float(e) for e in range(7)]
+        assert [s[2] for s in seen] == [256 * (e + 1) for e in range(7)]
+
+    def test_lag_zero_is_synchronous(self):
+        import jax.numpy as jnp
+
+        from vamb_tpu.models.training import MetricsDrain
+
+        seen = []
+        drain = MetricsDrain(lambda ep, vals, bs, secs: seen.append(ep), lag=0)
+        drain.push(0, jnp.asarray([1.0]), 64)
+        assert seen == [0]
+
+    def test_trainmodel_logs_one_line_per_epoch(self):
+        rng = np.random.default_rng(0)
+        ds = make_dataset(
+            rng.uniform(0.1, 1.0, (64, 3)).astype(np.float32),
+            rng.standard_normal((64, 103)).astype(np.float32),
+            rng.integers(2000, 5000, 64),
+        )
+        vae = VAE(nsamples=3, seed=0)
+        lines = []
+        vae.trainmodel(
+            ds, nepochs=5, batchsize=16, batchsteps=None, logger=lines.append
+        )
+        epoch_lines = [ln for ln in lines if "Epoch:" in ln]
+        assert len(epoch_lines) == 5
+        # in order, each with a loss value
+        for i, ln in enumerate(epoch_lines):
+            assert f"Epoch: {i + 1:>3}" in ln and "Loss:" in ln

@@ -19,7 +19,6 @@ discriminator phases stop-gradient the encoder outputs (the reference
 computes those gradients and then discards them — same result, less work).
 """
 
-import time
 from pathlib import Path
 from typing import IO, Callable, Optional, Union
 
@@ -31,7 +30,7 @@ import optax
 from ..utils.checkpoint import load_meta, load_pytree, save_pytree
 from . import layers
 from .dataset import VAEDataset, batchsize_at_epoch, num_batches
-from .training import validate_batchsteps
+from .training import MetricsDrain, validate_batchsteps
 
 _ENCODE_CHUNK = 1 << 16
 
@@ -354,25 +353,27 @@ class AAE:
             data = tuple(shard_rows_padded(np.asarray(a), mesh) for a in data)
             train_state = replicate(train_state, mesh)
 
+        def emit(epoch, m, bs, seconds):
+            log(
+                "\t\tEpoch: {:>3} Loss Enc/Dec: {:.5e} Rec. loss: {:.5e} "
+                "CE: {:.5e} SSE: {:.5e} Dz loss: {:.5e} Dy loss: {:.5e} "
+                "Batchsize: {:>4}  ({:.2f}s)".format(
+                    epoch + 1, m[0], m[1], m[2], m[3], m[4], m[5], bs, seconds,
+                )
+            )
+
+        drain = MetricsDrain(emit)
         for epoch in range(nepochs):
             bs = batchsize_at_epoch(batchsize, batchsteps_list, epoch)
             nb = num_batches(dataset.n_obs, bs)
             actual_bs = min(bs, dataset.n_obs)
             self.rng, key = jax.random.split(self.rng)
-            t0 = time.time()
             train_state, m = epoch_fn(
                 train_state, data, key, bs=actual_bs, nb=nb, n_obs=dataset.n_obs
             )
-            m = np.asarray(m)
-            log(
-                "\t\tEpoch: {:>3} Loss Enc/Dec: {:.5e} Rec. loss: {:.5e} "
-                "CE: {:.5e} SSE: {:.5e} Dz loss: {:.5e} Dy loss: {:.5e} "
-                "Batchsize: {:>4}  ({:.2f}s)".format(
-                    epoch + 1, m[0], m[1], m[2], m[3], m[4], m[5], actual_bs,
-                    time.time() - t0,
-                )
-            )
+            drain.push(epoch, m, actual_bs)
 
+        drain.flush()
         params, bn_state, _ = train_state
         self.params = jax.tree.map(np.asarray, params)
         self.bn_state = jax.tree.map(np.asarray, bn_state)

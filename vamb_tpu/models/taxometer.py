@@ -8,7 +8,6 @@ prediction picker is `argmax_with_confidence` over non-trivial nodes with
 threshold 0.5 (reference :890-918).
 """
 
-import time
 from pathlib import Path
 from typing import IO, Callable, Iterable, Optional, Union
 
@@ -20,7 +19,7 @@ from ..optim import dadapt_adam
 from ..utils.checkpoint import load_meta, load_pytree, save_pytree
 from . import hier, layers
 from .dataset import VAEDataset, batchsize_at_epoch, num_batches
-from .training import make_scan_epoch_fn, validate_batchsteps
+from .training import MetricsDrain, make_scan_epoch_fn, validate_batchsteps
 
 DEFAULT_HIER_LOSS = "flat_softmax"
 _PREDICT_CHUNK = 1 << 16
@@ -226,21 +225,25 @@ class Taxometer:
         else:
             train_state = (self.params, self.bn_state, optimizer.init(self.params))
 
+        def emit(epoch, m, bs, seconds):
+            log(
+                f"\tEpoch: {epoch + 1}\tCE: {float(m[0]):.7f}"
+                f"\tBatchsize: {bs}  ({seconds:.2f}s)"
+            )
+
+        drain = MetricsDrain(emit)
         for epoch in range(nepochs):
             bs = batchsize_at_epoch(batchsize, batchsteps_list, epoch)
             nb = num_batches(dataset.n_obs, bs)
             actual_bs = min(bs, dataset.n_obs)
             self.rng, key = jax.random.split(self.rng)
-            t0 = time.time()
             train_state, metrics = epoch_fn(
                 train_state, data, key, batchsize=actual_bs, nbatches=nb,
                 n_obs=dataset.n_obs,
             )
-            log(
-                f"\tEpoch: {epoch + 1}\tCE: {float(metrics[0]):.7f}"
-                f"\tBatchsize: {actual_bs}  ({time.time() - t0:.2f}s)"
-            )
+            drain.push(epoch, metrics, actual_bs)
 
+        drain.flush()
         params, bn_state, _ = train_state
         self.params = jax.tree.map(np.asarray, params)
         self.bn_state = jax.tree.map(np.asarray, bn_state)

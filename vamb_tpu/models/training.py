@@ -6,11 +6,14 @@ jitted `lax.scan` over shuffled minibatch index blocks (reference-equivalent
 shuffle + drop_last semantics), compiled once per distinct batch size.
 """
 
+import time
+from collections import deque
 from functools import partial
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def make_scan_epoch_fn(
@@ -68,6 +71,51 @@ def make_scan_epoch_fn(
         return train_state, jnp.mean(metrics, axis=0)
 
     return epoch_fn
+
+
+class MetricsDrain:
+    """Emit per-epoch metric log lines without serializing the device stream.
+
+    Fetching even a 5-float metrics vector after every epoch costs a full
+    host<->device round trip before the next epoch can be dispatched — on a
+    networked TPU that latency (~25 ms here) rivals the epoch's compute
+    itself, so a synchronous fetch nearly halves training throughput at the
+    100k-contig scale. Instead epochs dispatch back-to-back; each epoch's
+    device-resident metrics vector is queued with an async device->host copy
+    and its log line is emitted `lag` epochs later, once the copy has had
+    time to land. `flush()` drains the queue (end of training, or before a
+    mid-training checkpoint that synchronizes anyway).
+
+    The per-line "(X.XXs)" is the wall time between this line's drain and
+    the previous one's — at steady state exactly the epoch time, while the
+    first line also carries compile time, same as a synchronous loop.
+    """
+
+    def __init__(self, emit: Callable[[int, np.ndarray, int, float], None], lag: int = 2):
+        self._emit = emit  # emit(epoch, values, batchsize, seconds)
+        self._lag = max(0, lag)
+        self._pending: deque = deque()
+        self._last = time.time()
+
+    def push(self, epoch: int, metrics: jax.Array, batchsize: int) -> None:
+        try:
+            metrics.copy_to_host_async()
+        except Exception:
+            pass  # fetched synchronously at drain time instead
+        self._pending.append((epoch, metrics, batchsize))
+        while len(self._pending) > self._lag:
+            self._drain_one()
+
+    def _drain_one(self) -> None:
+        epoch, metrics, batchsize = self._pending.popleft()
+        values = np.asarray(metrics)
+        now = time.time()
+        self._emit(epoch, values, batchsize, now - self._last)
+        self._last = now
+
+    def flush(self) -> None:
+        while self._pending:
+            self._drain_one()
 
 
 def validate_batchsteps(nepochs: int, batchsteps: Optional[list]) -> list[int]:

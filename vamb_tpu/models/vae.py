@@ -25,7 +25,6 @@ TPU-first design departures (not a port):
   data parallelism (models/layers.py).
 """
 
-import time
 from functools import partial
 from pathlib import Path
 from typing import IO, Callable, Optional, Union
@@ -39,6 +38,7 @@ from ..utils import mask_lower_bits
 from ..utils.checkpoint import load_pytree, load_meta, save_pytree
 from . import layers
 from .dataset import VAEDataset, batchsize_at_epoch, num_batches
+from .training import MetricsDrain
 
 _ENCODE_CHUNK = 1 << 18  # rows per jitted encode call
 
@@ -375,24 +375,26 @@ class VAE:
             bn_state = replicate(bn_state, mesh)
             opt_state = replicate(opt_state, mesh)
 
+        def emit(epoch, comps, bs, seconds):
+            log(
+                "\t\tEpoch: {:>3}  Loss: {:.5e}  CE: {:.5e}  AB: {:.5e}  "
+                "SSE: {:.5e}  KLD: {:.5e}  Batchsize: {:>4}  ({:.2f}s)".format(
+                    epoch + 1, comps[0], comps[2], comps[1], comps[3], comps[4],
+                    bs, seconds,
+                )
+            )
+
+        drain = MetricsDrain(emit)
         for epoch in range(nepochs):
             bs = batchsize_at_epoch(batchsize, batchsteps_list, epoch)
             nb = num_batches(dataset.n_obs, bs)
             actual_bs = min(bs, dataset.n_obs)
             self.rng, key = jax.random.split(self.rng)
-            t0 = time.time()
             params, bn_state, opt_state, comps = epoch_fn(
                 params, bn_state, opt_state, data, key,
                 batchsize=actual_bs, nbatches=nb, n_obs=dataset.n_obs,
             )
-            comps = np.asarray(comps)
-            log(
-                "\t\tEpoch: {:>3}  Loss: {:.5e}  CE: {:.5e}  AB: {:.5e}  "
-                "SSE: {:.5e}  KLD: {:.5e}  Batchsize: {:>4}  ({:.2f}s)".format(
-                    epoch + 1, comps[0], comps[2], comps[1], comps[3], comps[4],
-                    actual_bs, time.time() - t0,
-                )
-            )
+            drain.push(epoch, comps, actual_bs)
             if (
                 checkpoint_every is not None
                 and modelfile is not None
@@ -400,6 +402,7 @@ class VAE:
                 and (epoch + 1) % checkpoint_every == 0
                 and epoch + 1 < nepochs
             ):
+                drain.flush()  # the param fetch below synchronizes anyway
                 snapshot_params, snapshot_bn = self.params, self.bn_state
                 self.params = jax.tree.map(np.asarray, params)
                 self.bn_state = jax.tree.map(np.asarray, bn_state)
@@ -408,6 +411,7 @@ class VAE:
                 finally:
                     self.params, self.bn_state = snapshot_params, snapshot_bn
 
+        drain.flush()
         self.params = jax.tree.map(np.asarray, params)
         self.bn_state = jax.tree.map(np.asarray, bn_state)
 

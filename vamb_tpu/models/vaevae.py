@@ -25,7 +25,6 @@ sub-VAEs evaluate inside ONE fused jitted step, so the whole composite is a
 single XLA program per batch size.
 """
 
-import time
 from pathlib import Path
 from typing import IO, Callable, Optional, Union
 
@@ -38,7 +37,7 @@ from ..utils import mask_lower_bits
 from ..utils.checkpoint import load_meta, load_pytree, save_pytree
 from . import hier, layers
 from .dataset import VAEDataset, batchsize_at_epoch, num_batches
-from .training import validate_batchsteps
+from .training import MetricsDrain, validate_batchsteps
 
 _ENCODE_CHUNK = 1 << 16
 
@@ -495,22 +494,25 @@ class VAEVAE:
             "loss", "loss_vamb", "loss_labels", "loss_joint", "ce_vamb",
             "sse_vamb", "kld_vamb", "ce_labels", "kld_labels", "ce_labels_joint",
         ]
+        def emit(epoch, m, bs, seconds):
+            log(
+                f"\t\tEpoch: {epoch + 1}  "
+                + "  ".join(f"{k}: {v:.5e}" for k, v in zip(names, m))
+                + f"  Batchsize: {bs}  ({seconds:.2f}s)"
+            )
+
+        drain = MetricsDrain(emit)
         for epoch in range(nepochs):
             bs = batchsize_at_epoch(batchsize, batchsteps_list, epoch)
             nb = num_batches(dataset.n_obs, bs)
             actual_bs = min(bs, dataset.n_obs)
             self.rng, key = jax.random.split(self.rng)
-            t0 = time.time()
             train_state, metrics = epoch_fn(
                 train_state, data, key, bs=actual_bs, nb=nb, n_obs=dataset.n_obs
             )
-            m = np.asarray(metrics)
-            log(
-                f"\t\tEpoch: {epoch + 1}  "
-                + "  ".join(f"{k}: {v:.5e}" for k, v in zip(names, m))
-                + f"  Batchsize: {actual_bs}  ({time.time() - t0:.2f}s)"
-            )
+            drain.push(epoch, metrics, actual_bs)
 
+        drain.flush()
         params, bn_state, _ = train_state
         self.params = jax.tree.map(np.asarray, params)
         self.bn_state = jax.tree.map(np.asarray, bn_state)
