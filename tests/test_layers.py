@@ -118,8 +118,20 @@ def test_dropout_scaling_and_identity():
     x = jnp.ones((1000, 8))
     out = layers.dropout(key, x, 0.2)
     arr = np.asarray(out)
-    # surviving entries are scaled by 1/0.8
+    # drop probability is quantized to t/256; survivors are scaled by the
+    # true quantized keep probability so E[out] == x exactly
+    t = round(0.2 * 256)
     surviving = arr[arr != 0]
-    np.testing.assert_allclose(surviving, 1 / 0.8)
-    assert abs((arr == 0).mean() - 0.2) < 0.05
+    np.testing.assert_allclose(surviving, 1 / (1 - t / 256), rtol=1e-6)
+    assert abs((arr == 0).mean() - t / 256) < 0.05
     assert layers.dropout(key, x, 0.0) is x
+
+
+def test_dropout_unbiased_and_odd_width():
+    # width not divisible by 4 exercises the byte-unpack padding path
+    key = jax.random.key(1)
+    x = jnp.ones((4000, 7))
+    arr = np.asarray(layers.dropout(key, x, 0.35))
+    t = round(0.35 * 256)
+    np.testing.assert_allclose(arr.mean(), 1.0, atol=0.01)  # E[out] == x
+    assert abs((arr == 0).mean() - t / 256) < 0.02

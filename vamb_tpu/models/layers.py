@@ -92,8 +92,27 @@ def leaky_relu(x: jax.Array, negative_slope: float = 0.01) -> jax.Array:
 
 
 def dropout(key: jax.Array, x: jax.Array, rate: float) -> jax.Array:
-    "Inverted dropout. rate==0 is the identity."
+    """Inverted dropout. rate==0 is the identity.
+
+    The keep mask compares one random BYTE per element against a quantized
+    threshold instead of drawing a 32-bit uniform per element. Threefry
+    word generation dominated the whole training step before this (a VAE
+    epoch at 100k contigs was 2.3x slower with per-element 32-bit draws),
+    and 8 bits of drop-probability resolution is far below any measurable
+    training effect. The drop probability is exactly t/256 with
+    t = round(rate*256) (0.19921875 for the default 0.2), and survivors
+    are scaled by the true quantized keep probability, so E[out] == x
+    holds exactly. Threefry is kept (not the faster backend-specific
+    rng_bit_generator) so masks are identical across CPU/TPU backends —
+    the golden-file e2e tests rely on that.
+    """
     if rate == 0.0:
         return x
-    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0.0)
+    t = min(255, int(round(rate * 256.0)))
+    keep_scale = 1.0 / (1.0 - t / 256.0)
+    ncols = x.shape[-1]
+    nwords = (ncols + 3) // 4
+    words = jax.random.bits(key, (*x.shape[:-1], nwords), jnp.uint32)
+    bits = jax.lax.bitcast_convert_type(words, jnp.uint8)
+    bits = bits.reshape(*x.shape[:-1], nwords * 4)[..., :ncols]
+    return jnp.where(bits >= jnp.uint8(t), x * keep_scale, 0.0)
