@@ -140,13 +140,23 @@ class Composition:
         filehandle: Iterable[bytes],
         filename: Optional[str],
         minlength: int = 2000,
-        use_device: bool = True,
+        use_device: bool = False,
     ) -> C:
         """Stream a binary FASTA filehandle into a Composition.
 
         Contigs shorter than `minlength` are dropped (recorded in the mask).
         A contig with zero countable 4-mers is an error, as it carries no
         composition signal.
+
+        The 256->103 projection runs on the HOST by default (BLAS sgemm).
+        The projection is transfer-bound, not compute-bound: its whole
+        compute is ~53 FLOPs per input byte, while the device path ships
+        every contig's 256-dim counts up and its 103-dim features back —
+        3.5x the bytes of uploading the finished 103-dim features once for
+        training. On a PCIe-attached chip that is merely wasted bandwidth;
+        over a networked TPU it dominated the stage (measured 13-89 s for
+        100k contigs vs ~1 s on host). `use_device=True` keeps the device
+        path for topologies where host FLOPs are the scarce resource.
         """
         if minlength < 4:
             raise ValueError(f"Minlength must be at least 4, not {minlength}")
