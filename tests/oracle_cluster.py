@@ -146,7 +146,12 @@ def _k_histogram(d, lengths, kept):
 
 @jax.jit
 def _k_smooth(hist):
-    return jnp.convolve(hist, jnp.asarray(_NORMALPDF), mode="same")
+    # the engine's banded-matmul smoothing (see cluster._SMOOTH_MATRIX:
+    # dot accumulation order is stable across fusion contexts, convolve
+    # rounding is not)
+    from vamb_tpu.cluster import smooth_histogram
+
+    return smooth_histogram(hist)
 
 
 # ------------------------------------------------------- sequential oracle

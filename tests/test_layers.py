@@ -12,7 +12,7 @@ from vamb_tpu.models import layers
 def test_dense_matches_torch():
     rng = np.random.default_rng(1)
     x = rng.standard_normal((7, 13)).astype(np.float32)
-    params = layers.init_dense(jax.random.key(0), 13, 5)
+    params = layers.init_dense(np.random.default_rng(0), 13, 5)
     lin = torch.nn.Linear(13, 5)
     with torch.no_grad():
         lin.weight.copy_(torch.from_numpy(np.asarray(params["w"]).T))
@@ -24,7 +24,7 @@ def test_dense_matches_torch():
 
 def test_dense_init_scale():
     "Torch-default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both w and b."
-    params = layers.init_dense(jax.random.key(3), 100, 400)
+    params = layers.init_dense(np.random.default_rng(3), 100, 400)
     bound = 1 / np.sqrt(100)
     w = np.asarray(params["w"])
     assert np.abs(w).max() <= bound

@@ -82,6 +82,33 @@ _NORMALPDF = (
     _DELTA_X / (0.01 * np.sqrt(2 * np.pi)) * np.exp(-0.5 * (_PDF_X / 0.01) ** 2)
 ).astype(np.float32)
 
+# Histogram smoothing as one (60,)x(60,60) dot with the banded Toeplitz
+# matrix of the 31-tap kernel, NOT jnp.convolve: a dot's accumulation
+# order is fixed per shape/backend, while a convolve's rounding can change
+# with the fusion context it compiles in. The engine evaluates the scan
+# inside a fused while_loop and the parity oracle in standalone programs;
+# a last-ulp difference between those two convolve compilations flipped a
+# knife-edge accept/reject on a palindromic histogram whose post-peak bins
+# tied exactly (caught by tests/test_parity_golden.py). The distance
+# matmuls already rely on this same dot determinism.
+_SMOOTH_MATRIX = np.zeros((_NBINS, _NBINS), np.float32)
+for _i in range(_NBINS):
+    for _j in range(_NBINS):
+        if abs(_j - _i) <= 15:
+            _SMOOTH_MATRIX[_i, _j] = _NORMALPDF[_j - _i + 15]
+del _i, _j
+
+
+def smooth_histogram(hist):
+    "Shared engine/oracle smoothing contract (see _SMOOTH_MATRIX note)."
+    return jnp.dot(
+        hist,
+        jnp.asarray(_SMOOTH_MATRIX),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
 # The valley scan's x grid, replicating the reference's float64 accumulation
 # `x += XMAX / len(histogram)` (cluster.py:487,532) — accumulated binary64
 # sums differ from i * dx in the last ulp, and the `x > 0.1` dead-check
@@ -206,7 +233,7 @@ def _find_threshold_device(hist, pvr):
 
     Returns (threshold, observed_pvr, found). threshold < 0 => none.
     """
-    densities = jnp.convolve(hist, jnp.asarray(_NORMALPDF), mode="same")
+    densities = smooth_histogram(hist)
     xs = jnp.asarray(_X_GRID.astype(np.float32))
     x_gt_01 = jnp.asarray(_X_GT_01)
     i = jnp.arange(_NBINS)

@@ -29,16 +29,15 @@ import optax
 
 from ..utils.checkpoint import load_meta, load_pytree, save_pytree
 from . import layers
-from .dataset import VAEDataset, batchsize_at_epoch, num_batches
+from .dataset import VAEDataset, batchsize_at_epoch, encode_chunk_rows, num_batches
 from .training import MetricsDrain, validate_batchsteps
 
 _ENCODE_CHUNK = 1 << 16
 
 
-def _init_bn_block(key, nin, nout):
-    k1 = key
+def _init_bn_block(rng, nin, nout):
     bn_p, bn_s = layers.init_batchnorm(nout)
-    return {"dense": layers.init_dense(k1, nin, nout), "bn": bn_p}, bn_s
+    return {"dense": layers.init_dense(rng, nin, nout), "bn": bn_p}, bn_s
 
 
 class AAE:
@@ -82,31 +81,30 @@ class AAE:
         self.alpha = alpha
         self.seed = seed
         self.rng = jax.random.key(seed)
-        self.params, self.bn_state = self._init_params(jax.random.key(seed))
+        self.params, self.bn_state = self._init_params(np.random.default_rng(seed))
 
-    def _init_params(self, key):
+    def _init_params(self, rng):
         h, half = self.h_n, self.h_n // 2
-        keys = jax.random.split(key, 16)
-        enc1, bns1 = _init_bn_block(keys[0], self.input_len, h)
-        enc2, bns2 = _init_bn_block(keys[1], h, h)
-        dec1, bnd1 = _init_bn_block(keys[2], self.ld + self.y_len, h)
-        dec2, bnd2 = _init_bn_block(keys[3], h, h)
+        enc1, bns1 = _init_bn_block(rng, self.input_len, h)
+        enc2, bns2 = _init_bn_block(rng, h, h)
+        dec1, bnd1 = _init_bn_block(rng, self.ld + self.y_len, h)
+        dec2, bnd2 = _init_bn_block(rng, h, h)
         params = {
             "enc": [enc1, enc2],
-            "mu": layers.init_dense(keys[4], h, self.ld),
-            "logvar": layers.init_dense(keys[5], h, self.ld),
-            "y": layers.init_dense(keys[6], h, self.y_len),
+            "mu": layers.init_dense(rng, h, self.ld),
+            "logvar": layers.init_dense(rng, h, self.ld),
+            "y": layers.init_dense(rng, h, self.y_len),
             "dec": [dec1, dec2],
-            "dec_out": layers.init_dense(keys[7], h, self.input_len),
+            "dec_out": layers.init_dense(rng, h, self.input_len),
             "disc_z": [
-                layers.init_dense(keys[8], self.ld, h),
-                layers.init_dense(keys[9], h, half),
-                layers.init_dense(keys[10], half, 1),
+                layers.init_dense(rng, self.ld, h),
+                layers.init_dense(rng, h, half),
+                layers.init_dense(rng, half, 1),
             ],
             "disc_y": [
-                layers.init_dense(keys[11], self.y_len, h),
-                layers.init_dense(keys[12], h, half),
-                layers.init_dense(keys[13], half, 1),
+                layers.init_dense(rng, self.y_len, h),
+                layers.init_dense(rng, h, half),
+                layers.init_dense(rng, half, 1),
             ],
         }
         bn_state = {"enc": [bns1, bns2], "dec": [bnd1, bnd2]}
@@ -402,12 +400,12 @@ class AAE:
         n = dataset.n_obs
         latent = np.empty((n, self.ld), dtype=np.float32)
         clust_y_dict: dict[str, set[str]] = dict()
-        chunk = min(_ENCODE_CHUNK, max(256, n))
+        chunk = encode_chunk_rows(n, _ENCODE_CHUNK)
         for start in range(0, n, chunk):
             stop = min(start + chunk, n)
             d = dataset.depths[start:stop]
             t = dataset.tnf[start:stop]
-            if stop - start < chunk and n > chunk:
+            if stop - start < chunk:
                 pad = chunk - (stop - start)
                 d = np.concatenate([d, np.zeros((pad, d.shape[1]), d.dtype)])
                 t = np.concatenate([t, np.zeros((pad, t.shape[1]), t.dtype)])

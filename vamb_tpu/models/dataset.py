@@ -109,6 +109,23 @@ def num_batches(n_obs: int, batchsize: int) -> int:
     return n_obs // batchsize
 
 
+def encode_chunk_rows(n_obs: int, cap: int) -> int:
+    """Chunk size for jitted encode/predict calls: the smallest power of two
+    >= n_obs, capped at `cap` (itself a power of two).
+
+    Jitted programs are compiled per shape; taking `min(cap, n_obs)` as the
+    chunk would compile a fresh encode program for every distinct dataset
+    size. The power-of-two ladder bounds the distinct programs to
+    log2(cap/256) rungs, all of which hit the persistent compile cache
+    across datasets and processes (a fresh encode compile costs seconds —
+    more than encoding itself for small inputs).
+    """
+    chunk = 256
+    while chunk < min(n_obs, cap):
+        chunk <<= 1
+    return min(chunk, cap)
+
+
 def batchsize_at_epoch(start_batchsize: int, batchsteps: list[int], epoch: int) -> int:
     "Batch size after applying the doubling schedule up to (and incl.) `epoch`."
     return start_batchsize * 2 ** sum(1 for s in batchsteps if s <= epoch)

@@ -26,13 +26,18 @@ import numpy as np
 Params = dict
 
 
-def init_dense(key: jax.Array, nin: int, nout: int) -> Params:
-    "Torch-default Linear init: Kaiming uniform (a=sqrt(5)) + uniform bias."
-    wkey, bkey = jax.random.split(key)
+def init_dense(rng: np.random.Generator, nin: int, nout: int) -> Params:
+    """Torch-default Linear init: Kaiming uniform (a=sqrt(5)) + uniform bias.
+
+    Host-side numpy on purpose: parameter init must not dispatch device
+    work. Drawing each layer's weights with per-shape jax.random programs
+    compiled dozens of tiny one-off executables, which cost seconds per
+    process over a networked TPU before the first real batch ran.
+    """
     # kaiming_uniform with a=sqrt(5) reduces to U(-1/sqrt(fan_in), 1/sqrt(fan_in))
     bound = 1.0 / np.sqrt(nin)
-    w = jax.random.uniform(wkey, (nin, nout), jnp.float32, -bound, bound)
-    b = jax.random.uniform(bkey, (nout,), jnp.float32, -bound, bound)
+    w = rng.uniform(-bound, bound, (nin, nout)).astype(np.float32)
+    b = rng.uniform(-bound, bound, (nout,)).astype(np.float32)
     return {"w": w, "b": b}
 
 
@@ -41,11 +46,11 @@ def dense(params: Params, x: jax.Array) -> jax.Array:
 
 
 def init_batchnorm(n: int) -> tuple[Params, Params]:
-    "Returns (learnable params, running state)."
-    params = {"scale": jnp.ones((n,), jnp.float32), "bias": jnp.zeros((n,), jnp.float32)}
+    "Returns (learnable params, running state); host arrays (see init_dense)."
+    params = {"scale": np.ones((n,), np.float32), "bias": np.zeros((n,), np.float32)}
     state = {
-        "mean": jnp.zeros((n,), jnp.float32),
-        "var": jnp.ones((n,), jnp.float32),
+        "mean": np.zeros((n,), np.float32),
+        "var": np.ones((n,), np.float32),
     }
     return params, state
 

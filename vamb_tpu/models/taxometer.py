@@ -105,25 +105,23 @@ class Taxometer:
         self.specificity = -self.tree.num_leaf_descendants()
         self.not_trivial = self.tree.num_children() != 1
         self.rng = jax.random.key(seed)
-        self.params, self.bn_state = self._init_params(jax.random.key(seed))
+        self.params, self.bn_state = self._init_params(np.random.default_rng(seed))
 
     @property
     def nfeatures(self) -> int:
         return self.nsamples + self.ntnf + 1
 
-    def _init_params(self, key):
+    def _init_params(self, rng: np.random.Generator):
         dims = [self.nfeatures] + self.nhiddens
         params: dict = {"enc": []}
         bn_state: dict = {"enc": []}
         for nin, nout in zip(dims, dims[1:]):
-            key, sub = jax.random.split(key)
             bn_p, bn_s = layers.init_batchnorm(nout)
             params["enc"].append(
-                {"dense": layers.init_dense(sub, nin, nout), "bn": bn_p}
+                {"dense": layers.init_dense(rng, nin, nout), "bn": bn_p}
             )
             bn_state["enc"].append(bn_s)
-        key, sub = jax.random.split(key)
-        params["out"] = layers.init_dense(sub, self.nhiddens[-1], self.nlabels)
+        params["out"] = layers.init_dense(rng, self.nhiddens[-1], self.nlabels)
         return params, bn_state
 
     def apply(

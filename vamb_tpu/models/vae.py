@@ -37,7 +37,7 @@ from ..optim import dadapt_adam
 from ..utils import mask_lower_bits
 from ..utils.checkpoint import load_pytree, load_meta, save_pytree
 from . import layers
-from .dataset import VAEDataset, batchsize_at_epoch, num_batches
+from .dataset import VAEDataset, batchsize_at_epoch, encode_chunk_rows, num_batches
 from .training import MetricsDrain
 
 _ENCODE_CHUNK = 1 << 18  # rows per jitted encode call
@@ -89,7 +89,7 @@ class VAE:
         self.dropout = dropout
         self.seed = seed
         self.rng = jax.random.key(seed)
-        self.params, self.bn_state = self._init_params(jax.random.key(seed))
+        self.params, self.bn_state = self._init_params(np.random.default_rng(seed))
 
     # ---------------------------------------------------------------- init
 
@@ -97,25 +97,21 @@ class VAE:
     def nfeatures(self) -> int:
         return self.nsamples + self.ntnf + 1
 
-    def _init_params(self, key: jax.Array):
+    def _init_params(self, rng: np.random.Generator):
         dims_enc = [self.nfeatures] + self.nhiddens
         dims_dec = [self.nlatent] + self.nhiddens[::-1]
         params: dict = {"enc": [], "dec": []}
         bn_state: dict = {"enc": [], "dec": []}
         for nin, nout in zip(dims_enc, dims_enc[1:]):
-            key, sub = jax.random.split(key)
             bn_p, bn_s = layers.init_batchnorm(nout)
-            params["enc"].append({"dense": layers.init_dense(sub, nin, nout), "bn": bn_p})
+            params["enc"].append({"dense": layers.init_dense(rng, nin, nout), "bn": bn_p})
             bn_state["enc"].append(bn_s)
-        key, sub = jax.random.split(key)
-        params["mu"] = layers.init_dense(sub, self.nhiddens[-1], self.nlatent)
+        params["mu"] = layers.init_dense(rng, self.nhiddens[-1], self.nlatent)
         for nin, nout in zip(dims_dec, dims_dec[1:]):
-            key, sub = jax.random.split(key)
             bn_p, bn_s = layers.init_batchnorm(nout)
-            params["dec"].append({"dense": layers.init_dense(sub, nin, nout), "bn": bn_p})
+            params["dec"].append({"dense": layers.init_dense(rng, nin, nout), "bn": bn_p})
             bn_state["dec"].append(bn_s)
-        key, sub = jax.random.split(key)
-        params["out"] = layers.init_dense(sub, self.nhiddens[0], self.nfeatures)
+        params["out"] = layers.init_dense(rng, self.nhiddens[0], self.nfeatures)
         return params, bn_state
 
     # ------------------------------------------------------------- forward
@@ -438,7 +434,7 @@ class VAE:
         fwd = self._encode_chunk_fn()
         n = dataset.n_obs
         latent = np.empty((n, self.nlatent), dtype=np.float32)
-        chunk = min(_ENCODE_CHUNK, max(256, n))
+        chunk = encode_chunk_rows(n, _ENCODE_CHUNK)
         params = self.params
         bn_state = self.bn_state
         for start in range(0, n, chunk):
@@ -446,7 +442,7 @@ class VAE:
             d = dataset.depths[start:stop]
             t = dataset.tnf[start:stop]
             a = dataset.abundance[start:stop]
-            if stop - start < chunk and n > chunk:
+            if stop - start < chunk:
                 # pad to the fixed chunk shape to avoid a recompile
                 pad = chunk - (stop - start)
                 d = np.concatenate([d, np.zeros((pad, d.shape[1]), d.dtype)])

@@ -36,7 +36,7 @@ import optax
 from ..utils import mask_lower_bits
 from ..utils.checkpoint import load_meta, load_pytree, save_pytree
 from . import hier, layers
-from .dataset import VAEDataset, batchsize_at_epoch, num_batches
+from .dataset import VAEDataset, batchsize_at_epoch, encode_chunk_rows, num_batches
 from .training import MetricsDrain, validate_batchsteps
 
 _ENCODE_CHUNK = 1 << 16
@@ -64,25 +64,21 @@ class _SubVAE:
         self.nout = nout
         self.dropout = dropout
 
-    def init(self, key):
+    def init(self, rng: np.random.Generator):
         dims_enc = [self.nin] + self.nhiddens
         dims_dec = [self.nlatent] + self.nhiddens[::-1]
         params: dict = {"enc": [], "dec": []}
         bn: dict = {"enc": [], "dec": []}
         for nin, nout in zip(dims_enc, dims_enc[1:]):
-            key, sub = jax.random.split(key)
             bn_p, bn_s = layers.init_batchnorm(nout)
-            params["enc"].append({"dense": layers.init_dense(sub, nin, nout), "bn": bn_p})
+            params["enc"].append({"dense": layers.init_dense(rng, nin, nout), "bn": bn_p})
             bn["enc"].append(bn_s)
-        key, sub = jax.random.split(key)
-        params["mu"] = layers.init_dense(sub, self.nhiddens[-1], self.nlatent)
+        params["mu"] = layers.init_dense(rng, self.nhiddens[-1], self.nlatent)
         for nin, nout in zip(dims_dec, dims_dec[1:]):
-            key, sub = jax.random.split(key)
             bn_p, bn_s = layers.init_batchnorm(nout)
-            params["dec"].append({"dense": layers.init_dense(sub, nin, nout), "bn": bn_p})
+            params["dec"].append({"dense": layers.init_dense(rng, nin, nout), "bn": bn_p})
             bn["dec"].append(bn_s)
-        key, sub = jax.random.split(key)
-        params["out"] = layers.init_dense(sub, self.nhiddens[0], self.nout)
+        params["out"] = layers.init_dense(rng, self.nhiddens[0], self.nout)
         return params, bn
 
     def _stack(self, stack_p, stack_s, x, train, key, axis_name):
@@ -195,11 +191,10 @@ class VAEVAE:
             self._label_loss = None
             self._label_logits = N_l
 
-        key = jax.random.key(seed)
-        k1, k2, k3 = jax.random.split(key, 3)
-        pv, bv = self.vamb.init(k1)
-        pl, bl = self.labels_vae.init(k2)
-        pj, bj = self.joint.init(k3)
+        rng = np.random.default_rng(seed)
+        pv, bv = self.vamb.init(rng)
+        pl, bl = self.labels_vae.init(rng)
+        pj, bj = self.joint.init(rng)
         self.params = {"vamb": pv, "labels": pl, "joint": pj}
         self.bn_state = {"vamb": bv, "labels": bl, "joint": bj}
         self.rng = jax.random.key(seed)
@@ -538,7 +533,7 @@ class VAEVAE:
 
         n = dataset.n_obs
         latent = np.empty((n, self.nlatent), dtype=np.float32)
-        chunk = min(_ENCODE_CHUNK, max(256, n))
+        chunk = encode_chunk_rows(n, _ENCODE_CHUNK)
         targets = np.asarray(targets, dtype=np.int32)
         for start in range(0, n, chunk):
             stop = min(start + chunk, n)
@@ -546,7 +541,7 @@ class VAEVAE:
             t = dataset.tnf[start:stop]
             a = dataset.abundance[start:stop]
             y = targets[start:stop]
-            if stop - start < chunk and n > chunk:
+            if stop - start < chunk:
                 pad = chunk - (stop - start)
                 d = np.concatenate([d, np.zeros((pad, d.shape[1]), d.dtype)])
                 t = np.concatenate([t, np.zeros((pad, t.shape[1]), t.dtype)])
