@@ -57,7 +57,7 @@ class Abundance:
         return len(self.samplenames)
 
     def save(self, io: Union[Path, IO[bytes]]):
-        np.savez_compressed(
+        np.savez(
             io,
             matrix=self.matrix,
             samplenames=self.samplenames,
@@ -219,7 +219,7 @@ class Abundance:
                 )
             if spill:
                 spill_path = Path(cache_directory).joinpath(f"chunk_{chunk_i}.npz")
-                np.savez_compressed(spill_path, matrix=chunk_matrix)
+                np.savez(spill_path, matrix=chunk_matrix)
                 chunk_results.append(spill_path)
             else:
                 chunk_results.append(chunk_matrix)

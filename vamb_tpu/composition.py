@@ -106,7 +106,7 @@ class Composition:
         return self.metadata.nseqs
 
     def save(self, io: Union[str, Path, IO[bytes]]):
-        np.savez_compressed(
+        np.savez(
             io,
             matrix=self.matrix,
             identifiers=self.metadata.identifiers,

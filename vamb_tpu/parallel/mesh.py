@@ -26,6 +26,26 @@ def distributed_init(
         )
 
 
+def warm_backend_async() -> None:
+    """Start JAX backend initialization on a daemon thread.
+
+    First device contact (plugin load, runtime handshake — seconds over a
+    networked TPU) otherwise lands inside the first training stage. Called
+    at pipeline start so it overlaps FASTA parsing; jax guards backend
+    init with a lock, so a concurrent first use simply waits on the same
+    init instead of racing it.
+    """
+    import threading
+
+    def touch():
+        try:
+            jax.devices()
+        except Exception:
+            pass  # surfaced later by the first real device use
+
+    threading.Thread(target=touch, name="jax-backend-warmup", daemon=True).start()
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     "1-D mesh over the first `n_devices` devices (all by default)."
     devices = jax.devices()

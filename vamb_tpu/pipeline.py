@@ -255,6 +255,10 @@ def load_composition_and_abundance(
     abundance_options: AbundanceOptions,
     binsplitter: BinSplitter,
 ) -> tuple[Composition, Abundance]:
+    from .parallel.mesh import warm_backend_async
+
+    # overlap the TPU runtime handshake with FASTA parsing
+    warm_backend_async()
     composition = calc_tnf(
         comp_options, general.min_contig_length, general.outdir, binsplitter
     )

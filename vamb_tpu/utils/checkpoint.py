@@ -41,7 +41,7 @@ def save_pytree(
     arrays[_META_KEY] = np.frombuffer(
         json.dumps(meta or {}).encode(), dtype=np.uint8
     )
-    np.savez_compressed(io, **arrays)
+    np.savez(io, **arrays)
 
 
 def load_pytree(io: Union[str, Path, IO[bytes]], like: Any) -> tuple[Any, dict]:

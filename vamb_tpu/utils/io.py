@@ -186,8 +186,14 @@ def read_npz(file) -> np.ndarray:
 
 
 def write_npz(file, array: np.ndarray):
-    "Write a numpy array to a compressed .npz file."
-    np.savez_compressed(file, array)
+    """Write a numpy array to an uncompressed .npz file.
+
+    Deliberately uncompressed: these are float-matrix stage caches
+    (TNF/abundance/latents/params) where deflate buys <10% size for
+    seconds of single-core time per 100k contigs. np.load reads both
+    variants transparently, so externally produced compressed npz files
+    still load."""
+    np.savez(file, array)
 
 
 def _validate(array: np.ndarray) -> np.ndarray:
