@@ -1,9 +1,11 @@
 """Composition: streaming FASTA -> 4-mer counts -> 103-dim TNF per contig.
 
-Parity target: reference vamb/parsecontigs.py. Host side streams and counts
-k-mers with bounded buffers (batches of ~1000 contigs of counts); the
-projection matmul runs on device (`ops.tnf.project_fourmers`). The final
-matrix has its 12 low mantissa bits zeroed for cross-platform stability
+Parity target: reference vamb/parsecontigs.py. The host streams and counts
+k-mers with bounded buffers (batches of ~1000 contigs of counts) and
+projects them with BLAS by default; `use_device=True` switches the
+projection matmul to the accelerator (`ops.tnf.project_fourmers_device`) —
+see `Composition.from_file` for the transfer economics. The final matrix
+has its 12 low mantissa bits zeroed for cross-platform stability
 (reference parsecontigs.py:211).
 """
 
