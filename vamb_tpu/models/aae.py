@@ -241,16 +241,34 @@ class AAE:
             depths, tnf = data
             n = depths.shape[0] if n_obs is None else n_obs
             perm_key, scan_key = jax.random.split(key)
-            perm = jax.random.permutation(perm_key, n)[: nb * bs].reshape(nb, bs)
+            perm = jax.random.permutation(perm_key, n)[: nb * bs]
+            if batch_sharding is None:
+                # one epoch-wide gather, contiguous slices per step
+                # (per-step row gathers dominate; see models/vae.py)
+                d_shuf, t_shuf = depths[perm], tnf[perm]
 
-            def step(carry, idx):
+                def get_batch(i):
+                    return (
+                        jax.lax.dynamic_slice_in_dim(d_shuf, i * bs, bs),
+                        jax.lax.dynamic_slice_in_dim(t_shuf, i * bs, bs),
+                    )
+            else:
+                # sharded: per-step gathers keep per-device memory and
+                # per-step collectives batch-sized (see models/vae.py)
+                idx2 = perm.reshape(nb, bs)
+
+                def get_batch(i):
+                    idx = jax.lax.dynamic_index_in_dim(idx2, i, keepdims=False)
+                    return (
+                        jax.lax.with_sharding_constraint(depths[idx], batch_sharding),
+                        jax.lax.with_sharding_constraint(tnf[idx], batch_sharding),
+                    )
+
+            def step(carry, i):
                 params, bn_state, opts, key = carry
                 st_e, st_d, st_dz, st_dy = opts
                 key, k_eps, k_prior_z, k_prior_y, k_eps2 = jax.random.split(key, 5)
-                d_in, t_in = depths[idx], tnf[idx]
-                if batch_sharding is not None:
-                    d_in = jax.lax.with_sharding_constraint(d_in, batch_sharding)
-                    t_in = jax.lax.with_sharding_constraint(t_in, batch_sharding)
+                d_in, t_in = get_batch(i)
                 ones = jnp.ones((bs, 1))
                 zeros_t = jnp.zeros((bs, 1))
 
@@ -332,7 +350,7 @@ class AAE:
                 return (params, bn_state, (st_e, st_d, st_dz, st_dy), key), metrics
 
             (params, bn_state, opts, _), metrics = jax.lax.scan(
-                step, (params, bn_state, opts, scan_key), perm
+                step, (params, bn_state, opts, scan_key), jnp.arange(nb)
             )
             return (params, bn_state, opts), jnp.mean(metrics, axis=0)
 

@@ -51,22 +51,38 @@ def make_scan_epoch_fn(
         n = data[0].shape[0] if n_obs is None else n_obs
         perm_key, scan_key = jax.random.split(key)
         perm = jax.random.permutation(perm_key, n)
-        idx = perm[: nbatches * batchsize].reshape(nbatches, batchsize)
+        idx = perm[: nbatches * batchsize]
+        if batch_sharding is None:
+            # one epoch-wide gather, contiguous slices per step (see
+            # models/vae.py epoch_fn: per-step row gathers dominate)
+            shuf = tuple(a[idx] for a in data)
 
-        def step(carry, batch_idx):
+            def get_batch(i):
+                return tuple(
+                    jax.lax.dynamic_slice_in_dim(a, i * batchsize, batchsize)
+                    for a in shuf
+                )
+        else:
+            # sharded: per-step gathers keep per-device memory and
+            # per-step collectives batch-sized (see models/vae.py)
+            idx2 = idx.reshape(nbatches, batchsize)
+
+            def get_batch(i):
+                batch_idx = jax.lax.dynamic_index_in_dim(idx2, i, keepdims=False)
+                return tuple(
+                    jax.lax.with_sharding_constraint(a[batch_idx], batch_sharding)
+                    for a in data
+                )
+
+        def step(carry, i):
             train_state, key = carry
             key, sub = jax.random.split(key)
-            batch = tuple(a[batch_idx] for a in data)
-            if batch_sharding is not None:
-                batch = tuple(
-                    jax.lax.with_sharding_constraint(a, batch_sharding)
-                    for a in batch
-                )
+            batch = get_batch(i)
             train_state, metrics = grad_and_update(train_state, batch, sub)
             return (train_state, key), metrics
 
         (train_state, _), metrics = jax.lax.scan(
-            step, (train_state, scan_key), idx
+            step, (train_state, scan_key), jnp.arange(nbatches)
         )
         return train_state, jnp.mean(metrics, axis=0)
 

@@ -263,34 +263,55 @@ class VAE:
         def epoch_fn(
             params, bn_state, opt_state, data, key, batchsize, nbatches, n_obs=None
         ):
-            depths, tnf, ab, weights = data
             # data may be zero-padded for even sharding; never gather padding
-            n = depths.shape[0] if n_obs is None else n_obs
+            n = data[0].shape[0] if n_obs is None else n_obs
             perm_key, scan_key = jax.random.split(key)
             perm = jax.random.permutation(perm_key, n)
-            idx = perm[: nbatches * batchsize].reshape(nbatches, batchsize)
+            idx = perm[: nbatches * batchsize]
+            if batch_sharding is None:
+                # ONE epoch-wide gather into shuffled buffers, contiguous
+                # slices per step: a per-step random-row gather was the
+                # single most expensive device op of the training step
+                # (2.5 ms/epoch of 11.6 at 100k, from device traces) —
+                # same batches either way, row gathers are just
+                # DMA-hostile at batch granularity.
+                shuf = tuple(a[idx] for a in data)
 
-            def step(carry, batch_idx):
+                def get_batch(i):
+                    return tuple(
+                        jax.lax.dynamic_slice_in_dim(a, i * batchsize, batchsize)
+                        for a in shuf
+                    )
+            else:
+                # Sharded: gather per step. The epoch-wide gather would
+                # make GSPMD all-gather the row-sharded dataset onto every
+                # device (dataset-sized memory per device); per-step
+                # gathers keep per-device memory and per-step collectives
+                # batch-sized (asserted by the HLO inventory test).
+                idx2 = idx.reshape(nbatches, batchsize)
+
+                def get_batch(i):
+                    batch_idx = jax.lax.dynamic_index_in_dim(
+                        idx2, i, keepdims=False
+                    )
+                    return tuple(
+                        jax.lax.with_sharding_constraint(
+                            a[batch_idx], batch_sharding
+                        )
+                        for a in data
+                    )
+
+            def step(carry, i):
                 params, bn_state, opt_state, key = carry
                 key, sub = jax.random.split(key)
-                batch = (
-                    depths[batch_idx],
-                    tnf[batch_idx],
-                    ab[batch_idx],
-                    weights[batch_idx],
-                )
-                if batch_sharding is not None:
-                    batch = tuple(
-                        jax.lax.with_sharding_constraint(a, batch_sharding)
-                        for a in batch
-                    )
+                batch = get_batch(i)
                 (_, (bn_state, comps)), grads = grad_fn(params, bn_state, batch, sub)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = jax.tree.map(lambda p, u: p + u, params, updates)
                 return (params, bn_state, opt_state, key), comps
 
             (params, bn_state, opt_state, _), comps = jax.lax.scan(
-                step, (params, bn_state, opt_state, scan_key), idx
+                step, (params, bn_state, opt_state, scan_key), jnp.arange(nbatches)
             )
             return params, bn_state, opt_state, jnp.mean(comps, axis=0)
 

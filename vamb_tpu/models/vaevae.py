@@ -433,27 +433,43 @@ class VAEVAE:
             depths, tnf, ab, weights, targets_i = data
             n = depths.shape[0] if n_obs is None else n_obs
             k_sup, k_unsup, scan_key = jax.random.split(key, 3)
-            perm_sup = jax.random.permutation(k_sup, n)[: nb * bs].reshape(nb, bs)
-            perm_uns = jax.random.permutation(k_unsup, n)[: nb * bs].reshape(nb, bs)
+            perm_sup = jax.random.permutation(k_sup, n)[: nb * bs]
+            perm_uns = jax.random.permutation(k_unsup, n)[: nb * bs]
 
-            def gather(idx):
-                onehot = jax.nn.one_hot(targets_i[idx], N_l, dtype=jnp.float32)
-                batch = (depths[idx], tnf[idx], ab[idx], weights[idx], onehot)
-                if batch_sharding is not None:
-                    batch = tuple(
-                        jax.lax.with_sharding_constraint(a, batch_sharding)
-                        for a in batch
+            if batch_sharding is None:
+                # one epoch-wide gather per stream, contiguous slices per
+                # step (per-step row gathers dominate; see models/vae.py)
+                shuf_s = tuple(a[perm_sup] for a in (depths, tnf, ab, weights, targets_i))
+                shuf_u = tuple(a[perm_uns] for a in (depths, tnf, ab, weights, targets_i))
+
+                def gather(shuf, i):
+                    d, t, a, w, tg = (
+                        jax.lax.dynamic_slice_in_dim(x, i * bs, bs) for x in shuf
                     )
-                return batch
+                    onehot = jax.nn.one_hot(tg, N_l, dtype=jnp.float32)
+                    return (d, t, a, w, onehot)
+            else:
+                # sharded: per-step gathers keep per-device memory and
+                # per-step collectives batch-sized (see models/vae.py)
+                shuf_s = perm_sup.reshape(nb, bs)
+                shuf_u = perm_uns.reshape(nb, bs)
 
-            def step(carry, idx2):
+                def gather(idx2, i):
+                    idx = jax.lax.dynamic_index_in_dim(idx2, i, keepdims=False)
+                    onehot = jax.nn.one_hot(targets_i[idx], N_l, dtype=jnp.float32)
+                    batch = (depths[idx], tnf[idx], ab[idx], weights[idx], onehot)
+                    return tuple(
+                        jax.lax.with_sharding_constraint(x, batch_sharding)
+                        for x in batch
+                    )
+
+            def step(carry, i):
                 params, bn_state, opt_state, key = carry
-                idx_s, idx_u = idx2
                 key, sub = jax.random.split(key)
 
                 def loss_fn(params, bn_state):
                     total, new_bn, metrics = self._step_losses(
-                        params, bn_state, gather(idx_s), gather(idx_u), sub
+                        params, bn_state, gather(shuf_s, i), gather(shuf_u, i), sub
                     )
                     return total, (new_bn, metrics)
 
@@ -466,7 +482,7 @@ class VAEVAE:
 
             (params, bn_state, opt_state, _), metrics = jax.lax.scan(
                 step, (params, bn_state, opt_state, scan_key),
-                (perm_sup, perm_uns),
+                jnp.arange(nb),
             )
             return (params, bn_state, opt_state), jnp.mean(metrics, axis=0)
 
