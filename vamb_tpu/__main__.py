@@ -210,6 +210,12 @@ def add_vae_arguments(subparser):
         "-d", dest="dropout", metavar="", type=float, default=None,
         help=argparse.SUPPRESS,
     )
+    # TPU-build extension: bf16 matmuls (f32 master weights/stats) for VAE
+    # training; encode-time latents stay exact f32 either way.
+    vaeos.add_argument(
+        "--precision", metavar="", type=str, default="f32",
+        choices=("f32", "bf16"), help=argparse.SUPPRESS,
+    )
     trainos = subparser.add_argument_group(title="Training options")
     trainos.add_argument(
         "-e", dest="nepochs", metavar="", type=int, default=300,
@@ -395,6 +401,7 @@ def _vae_options_from_args(args):
         nepochs=args.nepochs,
         batchsize=args.batchsize,
         batchsteps=list(args.batchsteps),
+        precision=getattr(args, "precision", "f32"),
     )
 
 

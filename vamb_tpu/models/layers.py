@@ -41,7 +41,22 @@ def init_dense(rng: np.random.Generator, nin: int, nout: int) -> Params:
     return {"w": w, "b": b}
 
 
-def dense(params: Params, x: jax.Array) -> jax.Array:
+def dense(params: Params, x: jax.Array, compute_dtype=None) -> jax.Array:
+    """Affine layer; optional reduced-precision matmul.
+
+    With ``compute_dtype=jnp.bfloat16`` both operands are cast to bf16 and
+    the product is emitted in bf16 — the TPU MXU still accumulates in f32
+    internally, and emitting bf16 keeps the *backward* dots (which see this
+    output's cotangent) on the fast bf16 MXU path too. Master params stay
+    f32; the casts' VJPs round-trip gradients back to f32 at the parameter
+    boundary. ``None`` (default) is the exact f32 path the golden-parity
+    suites pin.
+    """
+    if compute_dtype is not None and compute_dtype != jnp.float32:
+        x = x.astype(compute_dtype)
+        w = params["w"].astype(compute_dtype)
+        b = params["b"].astype(compute_dtype)
+        return jnp.dot(x, w) + b
     return jnp.dot(x, params["w"], preferred_element_type=jnp.float32) + params["b"]
 
 
@@ -68,6 +83,12 @@ def batchnorm_train(
     If `axis_name` is given, batch statistics are averaged across that mapped
     mesh axis (global-batch semantics under data parallelism).
     """
+    in_dtype = x.dtype
+    # Batch statistics always in f32: with a bf16 compute dtype upstream,
+    # mean-of-squares in bf16 loses enough mantissa to destabilize training.
+    # For f32 inputs every cast here is a trace-time no-op, so the exact
+    # arithmetic the golden-parity suites pin is unchanged.
+    x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=0)
     mean2 = jnp.mean(x * x, axis=0)
     n = x.shape[0]
@@ -77,7 +98,7 @@ def batchnorm_train(
         n = n * jax.lax.psum(1, axis_name)
     var = mean2 - mean * mean  # biased, used for normalization
     inv = jax.lax.rsqrt(var + eps)
-    out = (x - mean) * inv * params["scale"] + params["bias"]
+    out = ((x - mean) * inv * params["scale"] + params["bias"]).astype(in_dtype)
     # torch stores the *unbiased* variance in the running estimate
     unbiased = var * (n / max(n - 1, 1)) if isinstance(n, int) else var * n / (n - 1)
     new_state = {

@@ -60,6 +60,7 @@ class VAE:
         beta: float = 200.0,
         dropout: Optional[float] = 0.2,
         seed: int = 0,
+        precision: str = "f32",
     ):
         if nlatent < 1:
             raise ValueError(f"Minimum 1 latent neuron, not {nlatent}")
@@ -79,6 +80,8 @@ class VAE:
             raise ValueError(f"alpha must be 0 < alpha < 1, not {alpha}")
         if not (0 <= dropout < 1):
             raise ValueError(f"dropout must be 0 <= dropout < 1, not {dropout}")
+        if precision not in ("f32", "bf16"):
+            raise ValueError(f"precision must be 'f32' or 'bf16', not {precision}")
 
         self.nsamples = nsamples
         self.ntnf = 103
@@ -88,6 +91,12 @@ class VAE:
         self.beta = beta
         self.dropout = dropout
         self.seed = seed
+        # "bf16": matmuls (fwd + both bwd dots) run on the MXU's bf16 path
+        # with f32 master params / BatchNorm stats / loss — a throughput
+        # opt-in (see bench.py); the default "f32" is the bit-exact path
+        # the parity/golden suites pin.
+        self.precision = precision
+        self._compute_dtype = jnp.bfloat16 if precision == "bf16" else None
         self.rng = jax.random.key(seed)
         self.params, self.bn_state = self._init_params(np.random.default_rng(seed))
 
@@ -124,11 +133,12 @@ class VAE:
         train: bool,
         key,
         axis_name,
+        compute_dtype=None,
     ):
         "Shared encoder/decoder stack: Dense → LeakyReLU → Dropout → BatchNorm."
         new_states = []
         for i, (p, s) in enumerate(zip(stack_params, stack_state)):
-            x = layers.leaky_relu(layers.dense(p["dense"], x))
+            x = layers.leaky_relu(layers.dense(p["dense"], x, compute_dtype))
             if train:
                 x = layers.dropout(jax.random.fold_in(key, i), x, self.dropout)
                 x, s = layers.batchnorm_train(p["bn"], s, x, axis_name=axis_name)
@@ -153,21 +163,30 @@ class VAE:
 
         Returns ((depths_out, tnf_out, abundance_out, mu), new_bn_state).
         At train time the decoder sees `mu + eps`, eps ~ N(0,1) (fixed sigma).
+        The bf16 compute dtype applies to *training* passes only: encode-time
+        latents are always produced by the exact f32 forward, because the
+        clustering engine's distance decisions sit on f32-scale margins.
         """
+        compute_dtype = self._compute_dtype if train else None
         x = jnp.concatenate((depths, tnf, abundance), axis=1)
         if train:
             ekey, dkey1, dkey2 = jax.random.split(key, 3)
         else:
             ekey = dkey1 = dkey2 = None
         h, enc_state = self._mlp_stack(
-            params["enc"], bn_state["enc"], x, train, dkey1, axis_name
+            params["enc"], bn_state["enc"], x, train, dkey1, axis_name,
+            compute_dtype,
         )
-        mu = layers.dense(params["mu"], h)
+        # mu in f32 even under bf16 compute: the KLD and the emitted latents
+        # read it, and the (B, nlatent) head is a trivial share of the FLOPs.
+        mu = layers.dense(params["mu"], h.astype(jnp.float32))
         latent = mu + jax.random.normal(ekey, mu.shape) if train else mu
         h, dec_state = self._mlp_stack(
-            params["dec"], bn_state["dec"], latent, train, dkey2, axis_name
+            params["dec"], bn_state["dec"], latent, train, dkey2, axis_name,
+            compute_dtype,
         )
-        rec = layers.dense(params["out"], h)
+        # Output head + loss in f32 (softmax/log stability under bf16).
+        rec = layers.dense(params["out"], h.astype(jnp.float32))
         depths_out = jax.nn.softmax(rec[:, : self.nsamples], axis=1)
         tnf_out = rec[:, self.nsamples : self.nsamples + self.ntnf]
         abundance_out = rec[:, self.nsamples + self.ntnf :]
@@ -366,6 +385,8 @@ class VAE:
         log(f"\t    Alpha: {self.alpha}")
         log(f"\t    Beta: {self.beta}")
         log(f"\t    Dropout: {self.dropout}")
+        if self.precision != "f32":
+            log(f"\t    Precision: {self.precision}")
         log(f"\t    N hidden: {', '.join(map(str, self.nhiddens))}")
         log(f"\t    N latent: {self.nlatent}")
         log("\tTraining properties:")
@@ -489,6 +510,7 @@ class VAE:
                 "beta": self.beta,
                 "dropout": self.dropout,
                 "seed": self.seed,
+                "precision": self.precision,
             },
         )
 
@@ -503,6 +525,7 @@ class VAE:
             beta=meta["beta"],
             dropout=meta["dropout"],
             seed=meta.get("seed", 0),
+            precision=meta.get("precision", "f32"),
         )
         if hasattr(io, "seek"):
             io.seek(0)

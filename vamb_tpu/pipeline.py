@@ -118,6 +118,9 @@ class VAEOptions:
     nepochs: int = 300
     batchsize: int = 256
     batchsteps: list[int] = field(default_factory=lambda: [25, 75, 150, 225])
+    # TPU-build extension: "bf16" trains with bf16 matmuls (f32 master
+    # weights, BatchNorm stats and loss); encoded latents stay exact f32.
+    precision: str = "f32"
 
 
 @dataclass
@@ -288,6 +291,7 @@ def trainvae(
         beta=vae_options.beta,
         dropout=vae_options.dropout,
         seed=general.seed,
+        precision=vae_options.precision,
     )
     logger.info("\tCreated VAE")
     vae.trainmodel(
