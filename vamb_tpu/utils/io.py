@@ -122,9 +122,10 @@ class FastaEntry:
         return len(self.sequence)
 
     def format(self, width: int = 60) -> str:
-        sixtymers = range(0, len(self.sequence), width)
-        spacedseq = "\n".join([self.sequence[i : i + width].decode() for i in sixtymers])
-        return f">{self.header}\n{spacedseq}"
+        "Render as FASTA text with the sequence wrapped to `width` columns."
+        seq = self.sequence.decode()
+        wrapped = "\n".join(seq[start : start + width] for start in range(0, len(seq), width))
+        return f">{self.header}\n{wrapped}"
 
     def kmercounts(self) -> np.ndarray:
         "Count 4-mers into a 256-slot uint32 vector (2-bit rolling encoding)."
@@ -144,37 +145,40 @@ def byte_iterfasta(
 ) -> Iterator[FastaEntry]:
     """Yield FastaEntry objects from an iterator of binary FASTA lines.
 
-    Streaming: only one record is buffered at a time
-    (reference vambtools.py:471-518).
+    Streaming: only one record is buffered at a time. A record starts at
+    each ``>`` line; everything until the next ``>`` (or EOF) is its
+    sequence, accumulated into a single growing bytearray. Same contract
+    as the reference parser (vambtools.py:471-518), independent
+    implementation.
     """
-    line_iterator = iter(filehandle)
-    prefix = "" if filename is None else f"In file '{filename}', "
-    header = next(line_iterator, None)
+    where = "" if filename is None else f"In file '{filename}', "
+    pending_header: Optional[bytes] = None
+    seq = bytearray()
+    first = True
 
-    if header is None:  # empty file is valid
-        return None
-    elif not isinstance(header, bytes):
-        raise TypeError(
-            f"{prefix}first line is not binary. "
-            "Are you sure you are reading the file in binary mode?"
-        )
-    elif not header.startswith(b">"):
-        raise ValueError(
-            f"{prefix}FASTA file is invalid, first line does not begin with '>'"
-        )
-
-    header = _strip_newline(header[1:])
-    buffer: list[bytes] = list()
-
-    for line in line_iterator:
+    for line in filehandle:
+        if first:
+            first = False
+            if not isinstance(line, bytes):
+                raise TypeError(
+                    f"{where}first line is not binary. "
+                    "Are you sure you are reading the file in binary mode?"
+                )
+            if not line.startswith(b">"):
+                raise ValueError(
+                    f"{where}FASTA file is invalid, first line does not begin with '>'"
+                )
         if line.startswith(b">"):
-            yield FastaEntry(header, bytearray().join(buffer))
-            buffer.clear()
-            header = _strip_newline(line[1:])
+            if pending_header is not None:
+                yield FastaEntry(pending_header, seq)
+                seq = bytearray()
+            pending_header = _strip_newline(line[1:])
         else:
-            buffer.append(line)
+            seq += line
 
-    yield FastaEntry(header, bytearray().join(buffer))
+    if pending_header is not None:
+        yield FastaEntry(pending_header, seq)
+    # an empty file yields nothing: that is valid FASTA
 
 
 def read_npz(file) -> np.ndarray:
