@@ -22,6 +22,13 @@ publishes no hardware-normalized numbers, BASELINE.json "published" is {}):
   HBM-bandwidth-bound at ~1.2e10 dists/s ideal; we use 1e10.
 * VAE: no reference throughput exists; vs_baseline is null.
 
+Also in the default output (each stage fenced so a budget expiry cannot
+lose earlier measurements): an adversarial loner-heavy 1M full run (30%
+noise points), a reduced 20k-contig hard-mode end-to-end run scored for
+NC/MQ-like genome recovery against synthetic ground truth, and a quality
+A/B across the production clustering paths (pallas vs xla wander,
+compaction on/off).
+
 Prints ONE JSON line: the headline clustering metric with every other
 measurement under "extra_metrics".
 """
@@ -264,44 +271,123 @@ def bench_clustering() -> tuple[float, dict]:
     return rate, metrics
 
 
-def bench_e2e() -> None:
-    """Opt-in (`python bench.py --e2e`): the full `bin default` CLI on a
-    synthetic 100k-contig x 10-sample dataset — FASTA in, split cluster
-    TSVs out, default settings (300 epochs, default batch schedule).
+def _blob_latents(
+    n: int, d: int, n_blobs: int, noise_frac: float, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Synthetic latent matrix: blobby points plus a uniform-noise tail.
 
-    The dataset is drawn from 500 synthetic source genomes so the latent
-    space has real cluster structure (random sequences would cluster into
-    ~N singletons, which exercises a pathological regime instead of the
-    production one). Comparable in spirit to the reference's CAMI2
-    wall-times (BASELINE.md: 684-2178 s per dataset on an unspecified
-    node); the datasets differ, so treat it as order-of-magnitude only.
-    Wall time includes XLA compiles unless the persistent cache is warm —
-    run twice and quote the second number as steady-state.
-    """
-    import shutil
-    import tempfile
+    `noise_frac` of the points are isotropic Gaussians with no blob
+    structure — after cosine normalization they scatter over the sphere,
+    the regime where the reference engine degrades into loner/fallback
+    emission (vamb/cluster.py:566-580). Returns (matrix, lengths, truth)
+    where truth[i] is the blob id or -1 for noise points."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_blobs, d)).astype(np.float32) * 4
+    truth = rng.integers(0, n_blobs, n)
+    matrix = centers[truth] + 0.05 * rng.standard_normal((n, d)).astype(np.float32)
+    n_noise = int(n * noise_frac)
+    if n_noise:
+        noise_at = rng.choice(n, n_noise, replace=False)
+        matrix[noise_at] = rng.standard_normal((n_noise, d)).astype(np.float32)
+        truth[noise_at] = -1
+    lengths = rng.integers(2000, 50_000, n)
+    return matrix, lengths, truth
 
-    n_contigs = 100_000
-    n_samples = 10
-    n_genomes = 500
+
+def bench_noisy_clustering() -> dict:
+    """Adversarial full run: 1M points, 30% of them unclusterable noise.
+
+    This is the loner-heavy tail regime the friendly blob benchmark never
+    enters — the reference's pvr ladder climbs to the 0.06-radius fallback
+    (vamb/cluster.py:566-580) and most emissions are single-point bursts.
+    Tracks the CHANGELOG's 'noisy 1M' scenario as a driver metric."""
+    import vamb_tpu.cluster as vc
+
+    matrix, lengths, _truth = _blob_latents(N, D, 1400, noise_frac=0.30, seed=3)
+    matrix = vc.normalize(matrix, inplace=True)
+    gen = vc.ClusterGenerator(matrix, lengths, normalized=True)
+    float(gen.matrixT[0, 0])  # force the host->device upload before timing
+    t0 = time.time()
+    n_clusters = sum(1 for _ in gen)
+    dt = time.time() - t0
+    print(
+        f"[bench] clustering noisy full run: {n_clusters} clusters "
+        f"({N} points, 30% noise) in {dt:.1f}s -> {n_clusters / dt:.0f} "
+        f"clusters/s end-to-end",
+        file=sys.stderr,
+    )
+    return {
+        "cluster_noisy_full_run_wall_s_1M": dt,
+        "cluster_noisy_full_run_clusters_1M": n_clusters,
+        "cluster_noisy_clusters_per_s_1M": n_clusters / dt,
+    }
+
+
+def bench_cluster_quality_ab() -> dict:
+    """Quality A/B across the engine's production code paths.
+
+    Same 256k-point dataset (500 blobs + 20% noise, compaction floor
+    crossed twice) clustered three ways: the TPU default (pallas wander +
+    compaction), forced-XLA wander, and compaction disabled. The paths
+    deliberately diverge in RNG consumption and numerics (approx_max_k,
+    re-seated sampling RNG), so bins are not expected to be identical —
+    blob-recovery quality is, and that's what this checks. Emits NC-like
+    counts per path and a match flag the driver records every round."""
+    import jax
+
+    import vamb_tpu.cluster as vc
+
+    n, n_blobs = 262_144, 500
+    matrix, lengths, truth = _blob_latents(n, D, n_blobs, noise_frac=0.20, seed=5)
+    matrix = vc.normalize(matrix, inplace=True)
+
+    configs: list[tuple[str, dict]] = [("xla", {"wander_kernel": "xla"})]
+    if jax.default_backend() == "tpu":
+        configs.insert(0, ("pallas", {"wander_kernel": "pallas"}))
+    configs.append(("nocompact", {"wander_kernel": "xla", "compact": False}))
+
+    out: dict = {}
+    counts: list[int] = []
+    for name, kwargs in configs:
+        gen = vc.ClusterGenerator(matrix, lengths, normalized=True, **kwargs)
+        t0 = time.time()
+        bins = {i: cl.members for i, cl in enumerate(gen)}
+        dt = time.time() - t0
+        nc, mq = _score_bins_vs_truth(bins, truth, lengths, n_blobs)
+        print(
+            f"[bench] cluster A/B [{name}]: {len(bins)} clusters in "
+            f"{dt:.1f}s -> {nc}/{n_blobs} NC-like, {mq} MQ-like",
+            file=sys.stderr,
+        )
+        out[f"cluster_ab_nc_{name}"] = nc
+        out[f"cluster_ab_wall_s_{name}"] = dt
+        counts.append(nc)
+    out["cluster_ab_nc_match"] = bool(max(counts) - min(counts) <= 2)
+    return out
+
+
+def _write_synthetic_metagenome(
+    workdir: str,
+    n_contigs: int,
+    n_samples: int,
+    n_genomes: int,
+    hard: bool,
+    seed: int = 7,
+) -> tuple[str, str, np.ndarray, np.ndarray]:
+    """Synthesize a FASTA + abundance TSV from `n_genomes` source genomes.
+
+    Genomes carry per-genome composition bias (Dirichlet base frequencies),
+    as real genomes do (GC content etc.) — uniform-random genomes all share
+    the same expected TNF, which deletes the composition signal the binner
+    is built around and makes any bin-quality readout meaningless.
+    `hard` flattens the composition bias and adds abundance noise so the
+    readout has dynamic range instead of saturating at n_genomes.
+    Returns (fasta_path, tsv_path, which_genome, contig_lengths)."""
     genome_len = 60_000
-    # --hard: subtle composition bias + noisier/fewer abundance profiles —
-    # the easy default is a correctness sentinel (a healthy pipeline
-    # recovers 500/500), the hard variant has dynamic range for tracking
-    # quality changes across rounds.
-    hard = "--hard" in sys.argv
     dirichlet_alpha = 10.0 if hard else 3.0
     abundance_sigma = 0.2 if hard else 0.1
-    if hard:
-        n_samples = 5
-
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng(seed)
     t_gen = time.time()
-    # Genomes carry per-genome composition bias (Dirichlet base
-    # frequencies), as real genomes do (GC content etc.) — uniform-random
-    # genomes all share the same expected TNF, which deletes the
-    # composition signal the binner is built around and makes any
-    # bin-quality readout meaningless.
     base_probs = rng.dirichlet(np.full(4, dirichlet_alpha), n_genomes)
     genomes = np.stack(
         [
@@ -315,7 +401,6 @@ def bench_e2e() -> None:
     starts = rng.integers(0, genome_len - 5001, n_contigs)
     profiles = rng.exponential(2.0, (n_genomes, n_samples))
 
-    workdir = tempfile.mkdtemp(prefix="vamb_tpu_e2e_")
     fasta_path = f"{workdir}/contigs.fna"
     tsv_path = f"{workdir}/abundance.tsv"
     with open(fasta_path, "wb") as f:
@@ -341,67 +426,143 @@ def bench_e2e() -> None:
         f"in {time.time() - t_gen:.1f}s",
         file=sys.stderr,
     )
+    return fasta_path, tsv_path, which, lengths
 
-    from vamb_tpu.__main__ import main as cli_main
 
-    outdir = f"{workdir}/out"
-    t0 = time.time()
-    cli_main(
-        [
-            "bin", "default",
-            "--outdir", outdir,
-            "--fasta", fasta_path,
-            "--abundance_tsv", tsv_path,
-            "--seed", "1",
-        ]
-    )
-    elapsed = time.time() - t0
+def _score_bins_vs_truth(
+    bins: "dict[object, list[int]]",
+    which: np.ndarray,
+    lengths: np.ndarray,
+    n_genomes: int,
+) -> tuple[int, int]:
+    """NC/MQ-like genome recovery against known per-contig ground truth.
 
-    # Bin-quality against the known synthetic ground truth (each contig's
-    # source genome): the closest available proxy to the reference's
-    # NC/MQ-bins headline (its CAMI2 data isn't redistributable). A genome
-    # counts as recovered at (recall r, precision p) if some bin contains
-    # >= r of the genome's total bases and >= p of that bin's bases come
-    # from the genome — the same containment logic CheckM-style NC
-    # (>=0.90/0.95) and MQ (>=0.50/0.90) thresholds approximate.
-    bin_of: dict[str, str] = {}
-    with open(f"{outdir}/vae_clusters_split.tsv") as f:
-        next(f)
-        for line in f:
-            b, c = line.rstrip("\n").split("\t")
-            bin_of[c] = b
+    A genome counts as recovered at (recall r, precision p) if some bin
+    contains >= r of the genome's total bases and >= p of that bin's bases
+    come from the genome — the same containment logic CheckM-style NC
+    (>=0.90/0.95) and MQ (>=0.50/0.90) thresholds approximate; this is the
+    closest available proxy to the reference's NC/MQ headline
+    (benchmark/benchmarks.csv) since its CAMI2 data isn't redistributable.
+    `bins` maps bin name -> list of contig indices. Contigs whose truth
+    label is negative (noise points) count against precision but belong to
+    no genome. Returns (nc, mq)."""
     genome_bases = np.zeros(n_genomes, np.int64)
-    bin_genome_bases: dict[str, dict] = {}
-    bin_total: dict[str, int] = {}
-    for i in range(n_contigs):
-        g, ln = int(which[i]), int(lengths[i])
-        genome_bases[g] += ln
-        b = bin_of.get(f"S{g % n_samples}C{i}")
-        if b is None:
+    real = which >= 0
+    np.add.at(genome_bases, which[real], lengths[real])
+    best_recall_at: dict[int, dict[float, float]] = {g: {} for g in range(n_genomes)}
+    for contig_ids in bins.values():
+        idx = np.asarray(contig_ids, dtype=np.int64)
+        total = int(lengths[idx].sum())
+        if total == 0:
             continue
-        bin_total[b] = bin_total.get(b, 0) + ln
-        per_g = bin_genome_bases.setdefault(b, {})
-        per_g[g] = per_g.get(g, 0) + ln
-    best_recall_at = {g: {} for g in range(n_genomes)}
-    for b, per_g in bin_genome_bases.items():
+        per_g: dict[int, int] = {}
+        for g, ln in zip(which[idx], lengths[idx]):
+            if g < 0:
+                continue
+            per_g[int(g)] = per_g.get(int(g), 0) + int(ln)
         for g, bases in per_g.items():
             recall = bases / genome_bases[g]
-            precision = bases / bin_total[b]
+            precision = bases / total
             cur = best_recall_at[g]
             for p_min in (0.95, 0.90):
                 if precision >= p_min:
                     cur[p_min] = max(cur.get(p_min, 0.0), recall)
     nc = sum(1 for g in range(n_genomes) if best_recall_at[g].get(0.95, 0) >= 0.90)
     mq = sum(1 for g in range(n_genomes) if best_recall_at[g].get(0.90, 0) >= 0.50)
-    n_bins = len(bin_total)
-    print(
-        f"[bench] e2e: bin default on {n_contigs} contigs x {n_samples} "
-        f"samples in {elapsed:.1f}s ({n_contigs / elapsed:.0f} contigs/s "
-        f"end-to-end, {n_bins} split bins; of {n_genomes} genomes: "
-        f"{nc} NC-like (r>=.90,p>=.95), {mq} MQ-like (r>=.50,p>=.90))",
-        file=sys.stderr,
+    return nc, mq
+
+
+def _run_e2e(
+    n_contigs: int, n_samples: int, n_genomes: int, hard: bool
+) -> dict:
+    """Full `bin default` CLI on a synthetic dataset; returns metric dict
+    with wall time and NC/MQ-like quality vs the known ground truth."""
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="vamb_tpu_e2e_")
+    try:
+        fasta_path, tsv_path, which, lengths = _write_synthetic_metagenome(
+            workdir, n_contigs, n_samples, n_genomes, hard
+        )
+
+        from vamb_tpu.__main__ import main as cli_main
+
+        outdir = f"{workdir}/out"
+        t0 = time.time()
+        cli_main(
+            [
+                "bin", "default",
+                "--outdir", outdir,
+                "--fasta", fasta_path,
+                "--abundance_tsv", tsv_path,
+                "--seed", "1",
+            ]
+        )
+        elapsed = time.time() - t0
+
+        bins: dict[str, list[int]] = {}
+        with open(f"{outdir}/vae_clusters_split.tsv") as f:
+            next(f)
+            for line in f:
+                b, c = line.rstrip("\n").split("\t")
+                bins.setdefault(b, []).append(int(c.split("C", 1)[1]))
+        nc, mq = _score_bins_vs_truth(bins, which, lengths, n_genomes)
+        n_bins = len(bins)
+        print(
+            f"[bench] e2e: bin default on {n_contigs} contigs x {n_samples} "
+            f"samples in {elapsed:.1f}s ({n_contigs / elapsed:.0f} contigs/s "
+            f"end-to-end, {n_bins} split bins; of {n_genomes} genomes: "
+            f"{nc} NC-like (r>=.90,p>=.95), {mq} MQ-like (r>=.50,p>=.90))",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return {
+        "wall_s": elapsed,
+        "nc_like": nc,
+        "mq_like": mq,
+        "split_bins": n_bins,
+        "n_genomes": n_genomes,
+    }
+
+
+def bench_quality() -> dict:
+    """Default-path quality readout: a reduced (20k-contig, hard-mode)
+    `bin default` run scored against synthetic ground truth, so NC/MQ-like
+    genome recovery lands in the driver's JSON every round (the full
+    100k --e2e variant stays opt-in for wall-time reasons)."""
+    m = _run_e2e(n_contigs=20_000, n_samples=5, n_genomes=150, hard=True)
+    return {
+        "e2e20k_hard_wall_s": m["wall_s"],
+        "e2e20k_hard_nc_like_genomes_of_150": m["nc_like"],
+        "e2e20k_hard_mq_like_genomes_of_150": m["mq_like"],
+        "e2e20k_hard_split_bins": m["split_bins"],
+    }
+
+
+def bench_e2e() -> None:
+    """Opt-in (`python bench.py --e2e`): the full `bin default` CLI on a
+    synthetic 100k-contig dataset — FASTA in, split cluster TSVs out,
+    default settings (300 epochs, default batch schedule).
+
+    `--hard` flattens composition bias and shrinks/noises the abundance
+    profiles: the easy default is a correctness sentinel (a healthy
+    pipeline recovers 500/500 genomes), the hard variant has dynamic range
+    for tracking quality changes across rounds. Comparable in spirit to
+    the reference's CAMI2 wall-times (BASELINE.md: 684-2178 s per dataset
+    on an unspecified node); the datasets differ, so treat it as
+    order-of-magnitude only. Wall time includes XLA compiles unless the
+    persistent cache is warm — run twice and quote the second number as
+    steady-state.
+    """
+    hard = "--hard" in sys.argv
+    m = _run_e2e(
+        n_contigs=100_000,
+        n_samples=5 if hard else 10,
+        n_genomes=500,
+        hard=hard,
     )
-    shutil.rmtree(workdir, ignore_errors=True)
     print(
         json.dumps(
             {
@@ -410,13 +571,13 @@ def bench_e2e() -> None:
                     if hard
                     else "e2e_bin_default_wall_s_100k_x10"
                 ),
-                "value": elapsed,
+                "value": m["wall_s"],
                 "unit": "s",
                 "vs_baseline": None,
                 "extra_metrics": {
-                    "e2e_nc_like_genomes_of_500": nc,
-                    "e2e_mq_like_genomes_of_500": mq,
-                    "e2e_split_bins": n_bins,
+                    "e2e_nc_like_genomes_of_500": m["nc_like"],
+                    "e2e_mq_like_genomes_of_500": m["mq_like"],
+                    "e2e_split_bins": m["split_bins"],
                 },
             }
         )
@@ -521,13 +682,17 @@ def main() -> None:
     # minutes per program, so if the driver's budget expires mid-run the
     # already-measured metrics must still reach the JSON line.
     rate, cluster_metrics = bench_clustering()
-    try:
-        vae_metrics = bench_vae()
-    except Exception as e:  # pragma: no cover - defensive
-        print(f"[bench] VAE stage failed: {e!r}", file=sys.stderr)
-        vae_metrics = {}
-
-    extra = {**cluster_metrics, **vae_metrics}
+    extra = dict(cluster_metrics)
+    for stage_name, stage in (
+        ("noisy clustering", bench_noisy_clustering),
+        ("VAE", bench_vae),
+        ("e2e quality", bench_quality),
+        ("cluster quality A/B", bench_cluster_quality_ab),
+    ):
+        try:
+            extra.update(stage())
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"[bench] {stage_name} stage failed: {e!r}", file=sys.stderr)
     extra["baselines"] = {
         "cluster_dists_per_s": {
             "value": BASELINE_DISTS_PER_S,
