@@ -134,13 +134,23 @@ class VAE:
         key,
         axis_name,
         compute_dtype=None,
+        dropout_masks=None,
     ):
-        "Shared encoder/decoder stack: Dense → LeakyReLU → Dropout → BatchNorm."
+        """Shared encoder/decoder stack: Dense → LeakyReLU → Dropout → BatchNorm.
+
+        `dropout_masks` (one pre-scaled multiplicative mask per layer)
+        replaces the RNG-drawn dropout when given — the injection seam the
+        torch-lockstep parity test uses to drive both frameworks with
+        identical randomness (tests/test_parity_vae.py).
+        """
         new_states = []
         for i, (p, s) in enumerate(zip(stack_params, stack_state)):
             x = layers.leaky_relu(layers.dense(p["dense"], x, compute_dtype))
             if train:
-                x = layers.dropout(jax.random.fold_in(key, i), x, self.dropout)
+                if dropout_masks is not None:
+                    x = x * dropout_masks[i]
+                else:
+                    x = layers.dropout(jax.random.fold_in(key, i), x, self.dropout)
                 x, s = layers.batchnorm_train(p["bn"], s, x, axis_name=axis_name)
             else:
                 x = layers.batchnorm_eval(p["bn"], s, x)
@@ -158,6 +168,7 @@ class VAE:
         train: bool,
         key: Optional[jax.Array] = None,
         axis_name: Optional[str] = None,
+        inject: Optional[dict] = None,
     ):
         """Full forward pass.
 
@@ -166,24 +177,36 @@ class VAE:
         The bf16 compute dtype applies to *training* passes only: encode-time
         latents are always produced by the exact f32 forward, because the
         clustering engine's distance decisions sit on f32-scale margins.
+
+        `inject` (train only) replaces all drawn randomness with caller-
+        supplied arrays: {"eps": (B, nlatent) latent noise, "enc_masks"/
+        "dec_masks": per-layer pre-scaled dropout masks}. This is the seam
+        the torch-lockstep parity test uses to run both frameworks on an
+        identical random stream (tests/test_parity_vae.py).
         """
         compute_dtype = self._compute_dtype if train else None
         x = jnp.concatenate((depths, tnf, abundance), axis=1)
-        if train:
+        if train and inject is None:
             ekey, dkey1, dkey2 = jax.random.split(key, 3)
         else:
             ekey = dkey1 = dkey2 = None
         h, enc_state = self._mlp_stack(
             params["enc"], bn_state["enc"], x, train, dkey1, axis_name,
             compute_dtype,
+            dropout_masks=None if inject is None else inject["enc_masks"],
         )
         # mu in f32 even under bf16 compute: the KLD and the emitted latents
         # read it, and the (B, nlatent) head is a trivial share of the FLOPs.
         mu = layers.dense(params["mu"], h.astype(jnp.float32))
-        latent = mu + jax.random.normal(ekey, mu.shape) if train else mu
+        if train:
+            eps = inject["eps"] if inject is not None else jax.random.normal(ekey, mu.shape)
+            latent = mu + eps
+        else:
+            latent = mu
         h, dec_state = self._mlp_stack(
             params["dec"], bn_state["dec"], latent, train, dkey2, axis_name,
             compute_dtype,
+            dropout_masks=None if inject is None else inject["dec_masks"],
         )
         # Output head + loss in f32 (softmax/log stability under bf16).
         rec = layers.dense(params["out"], h.astype(jnp.float32))
