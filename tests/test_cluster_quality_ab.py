@@ -1,0 +1,97 @@
+"""Quality-level A/B across the clustering engine's production code paths.
+
+The compacted path deliberately re-seats the sampling RNG when the device
+matrix shrinks (cluster.py: compaction docs), so its emissions are valid
+for the dataset but not bitwise-identical to a compaction-free run — the
+oracles therefore run below the compaction floor, leaving the production
+path outside the emission-level parity net. This suite closes that gap at
+the level that matters for users: same data, compaction forced on (floor
+lowered so it actually triggers) vs off, and the forced-XLA wander path,
+must produce the same *bin quality* (blob recovery at NC-like thresholds)
+and the same full-partition invariants. The TPU-side pallas variant of the
+same A/B runs in bench.py (Pallas kernels don't lower on the CPU CI
+backend).
+
+Reference context: vamb/cluster.py:566-580 (fallback/loner tail) and the
+reference's own pack-vs-mask mode split (cluster.py:174-177,313-335),
+which likewise changes emission order but not quality.
+"""
+
+import numpy as np
+import pytest
+
+from vamb_tpu.cluster import ClusterGenerator, normalize
+
+N, D, N_BLOBS = 6144, 16, 40
+NOISE_FRAC = 0.2
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((N_BLOBS, D)).astype(np.float32) * 4
+    truth = rng.integers(0, N_BLOBS, N)
+    matrix = centers[truth] + 0.05 * rng.standard_normal((N, D)).astype(np.float32)
+    n_noise = int(N * NOISE_FRAC)
+    noise_at = rng.choice(N, n_noise, replace=False)
+    matrix[noise_at] = rng.standard_normal((n_noise, D)).astype(np.float32)
+    truth[noise_at] = -1
+    lengths = rng.integers(2000, 50_000, N)
+    return normalize(matrix, inplace=True), lengths, truth
+
+
+def _nc_like_blobs(bins, truth, lengths):
+    "Blobs recovered at recall>=0.90 of bases in a bin with precision>=0.95."
+    blob_bases = np.zeros(N_BLOBS, np.int64)
+    real = truth >= 0
+    np.add.at(blob_bases, truth[real], lengths[real])
+    best = np.zeros(N_BLOBS)
+    for members in bins:
+        idx = np.asarray(members, np.int64)
+        total = int(lengths[idx].sum())
+        per_b: dict[int, int] = {}
+        for b, ln in zip(truth[idx], lengths[idx]):
+            if b >= 0:
+                per_b[int(b)] = per_b.get(int(b), 0) + int(ln)
+        for b, bases in per_b.items():
+            if bases / total >= 0.95:
+                best[b] = max(best[b], bases / blob_bases[b])
+    return int(np.sum(best >= 0.90))
+
+
+def _run(matrix, lengths, **kwargs):
+    gen = ClusterGenerator(matrix.copy(), lengths, normalized=True, **kwargs)
+    return [cl.members for cl in gen]
+
+
+def test_compaction_and_wander_paths_match_quality(dataset):
+    matrix, lengths, truth = dataset
+    # floor low enough that the 6144-point run crosses the ladder twice
+    bins_compact = _run(
+        matrix, lengths, compact=True, compact_min_pad=1024, compact_async=False
+    )
+    bins_nocompact = _run(matrix, lengths, compact=False)
+    bins_xla = _run(
+        matrix, lengths, compact=True, compact_min_pad=1024,
+        compact_async=False, wander_kernel="xla",
+    )
+
+    all_counts = {}
+    for name, bins in (
+        ("compact", bins_compact),
+        ("nocompact", bins_nocompact),
+        ("xla", bins_xla),
+    ):
+        # full-partition invariant: every point emitted exactly once
+        emitted = np.concatenate([np.asarray(m) for m in bins])
+        assert len(emitted) == N, f"{name}: emitted {len(emitted)} of {N}"
+        assert len(np.unique(emitted)) == N, f"{name}: duplicate emissions"
+        all_counts[name] = _nc_like_blobs(bins, truth, lengths)
+
+    # quality equivalence: the paths may emit different partitions of the
+    # noise tail, but blob recovery must match (tight blobs leave no room
+    # for a legitimate path to lose one)
+    assert all_counts["compact"] == all_counts["nocompact"], all_counts
+    assert all_counts["compact"] == all_counts["xla"], all_counts
+    # and the dataset must actually have signal for this test to mean much
+    assert all_counts["compact"] >= N_BLOBS - 2, all_counts
