@@ -37,12 +37,45 @@ import numpy as np  # noqa: E402
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
 
 
+def cli_main(coordinator: str, num_processes: int, process_id: int) -> None:
+    """CLI mode: run the real `vamb_tpu bin default` end to end under
+    jax.distributed, exercising the --nprocs/--procid wiring, the global
+    mesh, and process-0 output gating. The parent compares process 0's
+    cluster TSV against a single-process run of the same command.
+
+    argv: <coordinator> <num_processes> <process_id> cli <fasta> <tsv> <outdir>
+    """
+    fasta, tsv, outdir = sys.argv[5], sys.argv[6], sys.argv[7]
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from vamb_tpu.__main__ import main as vamb_main
+
+    argv = [
+        "bin", "default",
+        "--outdir", outdir,
+        "--fasta", fasta,
+        "--abundance_tsv", tsv,
+        "-e", "3", "-q", "1",
+        "--seed", "4",
+    ]
+    if num_processes > 1:
+        argv += [
+            "--coordinator", coordinator,
+            "--nprocs", str(num_processes),
+            "--procid", str(process_id),
+        ]
+    vamb_main(argv)
+    print("DIST_CLI_OK", flush=True)
+
+
 def main() -> None:
     coordinator, num_processes, process_id = (
         sys.argv[1],
         int(sys.argv[2]),
         int(sys.argv[3]),
     )
+    if len(sys.argv) > 4 and sys.argv[4] == "cli":
+        cli_main(coordinator, num_processes, process_id)
+        return
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from vamb_tpu.parallel import distributed_init
 

@@ -110,7 +110,63 @@ def add_general_arguments(subparser):
         help="Write a jax.profiler device trace to outdir/profile [False]",
         action="store_true",
     )
+    dist = subparser.add_argument_group(
+        title="Multi-host (TPU pods / multi-node)"
+    )
+    dist.add_argument(
+        "--dist",
+        help="Initialize jax.distributed with pod/cluster auto-detection; "
+        "launch the same command on every host [False]",
+        action="store_true",
+    )
+    dist.add_argument(
+        "--coordinator",
+        metavar="",
+        type=str,
+        default=None,
+        help="Coordinator address host:port (explicit multi-process launch; "
+        "requires --nprocs and --procid)",
+    )
+    dist.add_argument(
+        "--nprocs",
+        metavar="",
+        type=int,
+        default=None,
+        help="Total number of processes in the explicit multi-process launch",
+    )
+    dist.add_argument(
+        "--procid",
+        metavar="",
+        type=int,
+        default=None,
+        help="This process's id (0-based) in the explicit launch",
+    )
     return subparser
+
+
+def _maybe_init_distributed(args) -> None:
+    """Wire `jax.distributed` before any backend use (SURVEY §2.3 target).
+
+    Auto mode (`--dist`) lets TPU pods discover topology from the
+    environment; the explicit triple serves generic multi-node launches.
+    Every process then sees the global device set, `pipeline.default_mesh`
+    spans it, and `run()` gates output writing on process 0.
+    """
+    nprocs = getattr(args, "nprocs", None)
+    auto = getattr(args, "dist", False)
+    if not auto and nprocs is None:
+        return
+    if nprocs is not None and getattr(args, "procid", None) is None:
+        raise SystemExit("--nprocs requires --procid (and usually --coordinator)")
+
+    from .parallel import distributed_init
+
+    distributed_init(
+        coordinator_address=getattr(args, "coordinator", None),
+        num_processes=nprocs,
+        process_id=getattr(args, "procid", None),
+        auto=auto and nprocs is None,
+    )
 
 
 def add_composition_arguments(subparser):
@@ -429,16 +485,31 @@ def _output_options_from_args(args):
 
 
 def run(runner, general) -> None:
-    "Create outdir, set up logging, run with timing (reference :702-715)."
+    """Create outdir, set up logging, run with timing (reference :702-715).
+
+    Multi-process runs (--dist / --nprocs) are SPMD: every process executes
+    the identical pipeline (the host-side control flow must run everywhere
+    to drive the global-mesh device programs), so their outputs would be
+    identical copies. Only process 0's land in the user's outdir; other
+    processes write into a scratch subdirectory that is removed on success.
+    """
     from . import __version__
     from .log import logger, setup_logging
+    from .parallel import process_info
 
     begintime = time.time()
+    proc_id, nprocs = process_info()
+    scratch_outdir = None
+    if proc_id != 0:
+        scratch_outdir = general.outdir / f".proc{proc_id}"
+        general.outdir = scratch_outdir
     general.outdir.mkdir(parents=True, exist_ok=True)
     setup_logging(general.outdir)
     logger.info(f"Starting vamb_tpu version {__version__}")
     logger.info("Random seed is " + str(general.seed))
     logger.info(f"Invoked with CLI args: '{' '.join(sys.argv)}'")
+    if nprocs > 1:
+        logger.info(f"Multi-host: process {proc_id} of {nprocs}")
     if getattr(general, "profile", False):
         import jax
 
@@ -450,6 +521,10 @@ def run(runner, general) -> None:
         runner()
     elapsed = round(time.time() - begintime, 2)
     logger.info(f"Completed vamb_tpu in {elapsed} seconds.")
+    if scratch_outdir is not None:
+        import shutil
+
+        shutil.rmtree(scratch_outdir, ignore_errors=True)
 
 
 def main(argv=None) -> None:
@@ -675,6 +750,7 @@ quality source (--quality_report, --markers, or --hmm_path).""",
     )
 
     args = parser.parse_args(args_in)
+    _maybe_init_distributed(args)
 
     if args.subcommand == "bin":
         model = args.model_subcommand

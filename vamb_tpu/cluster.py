@@ -329,6 +329,7 @@ def _make_emit_batch(
     batch_clusters: int,
     distance_dtype=jnp.float32,
     use_pallas: bool = False,
+    replicate_outputs=None,
 ):
     """Build the fused device program emitting up to `batch_clusters` clusters.
 
@@ -880,6 +881,15 @@ def _make_emit_batch(
         delta = jnp.where(
             state.labels >= first_cid, state.labels - first_cid + 1, 0
         ).astype(_delta_dtype)
+        if replicate_outputs is not None:
+            # Multi-host: the host decode loop runs on EVERY process (it
+            # drives the global-mesh device programs), so each must fetch
+            # these three arrays — force-replicate them on device so the
+            # all-gather rides ICI/DCN once instead of failing as a
+            # non-addressable fetch.
+            ints = jax.lax.with_sharding_constraint(ints, replicate_outputs)
+            flts = jax.lax.with_sharding_constraint(flts, replicate_outputs)
+            delta = jax.lax.with_sharding_constraint(delta, replicate_outputs)
         return state, ints, flts, delta
 
     return emit_batch
@@ -1083,9 +1093,17 @@ class ClusterGenerator:
             spec_seeds=put_repl(np.full(_SPEC_SEEDS, -1, np.int32)),
             spec_d=put_cols(np.zeros((_SPEC_SEEDS, n_pad), np.float32)),
         )
+        replicate_outputs = None
+        if mesh is not None and len(
+            {d.process_index for d in mesh.devices.flat}
+        ) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            replicate_outputs = NamedSharding(mesh, P())
         self._emit_batch = _make_emit_batch(
             windowsize, minsuccesses, min(maxsteps, n_pad), batch_clusters,
             distance_dtype=ddtype, use_pallas=use_pallas,
+            replicate_outputs=replicate_outputs,
         )
         self._pending: list[Cluster] = []
         self._emitted_total = 0

@@ -22,4 +22,5 @@ from .mesh import (  # noqa: F401
     replicate,
     shard_rows,
     distributed_init,
+    process_info,
 )

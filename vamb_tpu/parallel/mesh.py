@@ -8,22 +8,45 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "dp"
 
+# (process_id, num_processes) recorded by distributed_init so callers (the
+# CLI output gating in __main__.run) can consult multi-process state without
+# touching the JAX backend — jax.process_index() would trigger backend
+# initialization, which the pipeline deliberately overlaps with parsing.
+_process_info: tuple[int, int] = (0, 1)
+
+
+def process_info() -> tuple[int, int]:
+    "(process_id, num_processes) as recorded at distributed_init time."
+    return _process_info
+
 
 def distributed_init(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
-) -> None:
-    """Initialize multi-host JAX. No-op for single-process runs.
+    auto: bool = False,
+) -> bool:
+    """Initialize multi-host JAX. Returns True if multi-process.
 
-    On TPU pods the arguments are auto-detected from the environment.
+    Explicit mode: pass coordinator/num_processes/process_id (any launcher).
+    Auto mode (`auto=True`): argless `jax.distributed.initialize()` — on TPU
+    pods and managed clusters the coordinator and process topology are
+    discovered from the environment. Must be called before the first JAX
+    backend use. Single-process explicit calls are a no-op.
     """
+    global _process_info
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+    elif auto:
+        jax.distributed.initialize()
+    else:
+        return False
+    _process_info = (jax.process_index(), jax.process_count())
+    return _process_info[1] > 1
 
 
 def warm_backend_async() -> None:
