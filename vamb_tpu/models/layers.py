@@ -45,12 +45,15 @@ def dense(params: Params, x: jax.Array, compute_dtype=None) -> jax.Array:
     """Affine layer; optional reduced-precision matmul.
 
     With ``compute_dtype=jnp.bfloat16`` both operands are cast to bf16 and
-    the product is emitted in bf16 — the TPU MXU still accumulates in f32
-    internally, and emitting bf16 keeps the *backward* dots (which see this
-    output's cotangent) on the fast bf16 MXU path too. Master params stay
-    f32; the casts' VJPs round-trip gradients back to f32 at the parameter
-    boundary. ``None`` (default) is the exact f32 path the golden-parity
-    suites pin.
+    the product is emitted in bf16; master params stay f32 and the casts'
+    VJPs round-trip gradients back to f32 at the parameter boundary.
+    NOTE (measured, TPU v5e): under JAX's DEFAULT matmul precision the
+    f32 path's dot ALREADY executes as a single bf16 MXU pass (f32
+    operands are truncated on load), so the explicit bf16 mode only
+    halves activation bytes between ops — worth ~2% at these layer
+    widths, not the naive 2-3x (see models/vae.py precision notes).
+    ``None`` (default) is the path the golden-parity suites pin; on the
+    CPU backend it is true f32 arithmetic.
     """
     if compute_dtype is not None and compute_dtype != jnp.float32:
         x = x.astype(compute_dtype)

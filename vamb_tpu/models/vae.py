@@ -91,10 +91,19 @@ class VAE:
         self.beta = beta
         self.dropout = dropout
         self.seed = seed
-        # "bf16": matmuls (fwd + both bwd dots) run on the MXU's bf16 path
-        # with f32 master params / BatchNorm stats / loss — a throughput
-        # opt-in (see bench.py); the default "f32" is the bit-exact path
-        # the parity/golden suites pin.
+        # "bf16": matmul operands cast to bf16 with f32 master params /
+        # BatchNorm stats / loss. Measured on TPU v5e this buys ~2% over
+        # "f32" (bench.py), and the trace-level reason is now understood:
+        # under JAX's DEFAULT matmul precision the f32 path's dots ALREADY
+        # execute as one bf16 MXU pass (measured 68.6 TF/s f32-DEFAULT vs
+        # 71.6 TF/s bf16 vs 23.9 TF/s f32-HIGHEST at 2048^3 on this chip),
+        # so the opt-in only halves activation bytes between ops — and the
+        # epoch is bound by non-matmul work at these layer widths (of a
+        # 14.6 ms epoch at 100k x 10: ~3.6 ms dropout RNG+mask, ~0.9 ms
+        # D-Adaptation, ~4 ms BN/loss/gathers/scan, ~6 ms matmuls). Kept
+        # as an opt-in for backends where the tradeoff differs. The "f32"
+        # default is the bit-exact path the parity/golden suites pin on
+        # CPU (where f32 dots are true f32).
         self.precision = precision
         self._compute_dtype = jnp.bfloat16 if precision == "bf16" else None
         self.rng = jax.random.key(seed)
