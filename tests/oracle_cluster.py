@@ -134,6 +134,98 @@ def _k_batched_wander(mT, lengths, kept, cand):
     return D, dens
 
 
+@partial(jax.jit, static_argnames=("Q",))
+def _k_subset_build(mT, lengths, kept, d0, seed, Q):
+    "Engine phase-1 subset construction (block-granular gather)."
+    from vamb_tpu.cluster import _SUBSET_BLOCK, _SUBSET_RADIUS
+
+    N = mT.shape[1]
+    B = _SUBSET_BLOCK
+    KB = Q // B
+    NB = N // B
+    ball = kept & (d0 <= _SUBSET_RADIUS)
+    block_any = jnp.any(ball.reshape(NB, B), axis=1)
+    nb = jnp.sum(block_any)
+    ok = nb <= KB
+    _, bids = jax.lax.top_k(
+        jnp.where(block_any, -jnp.arange(NB, dtype=jnp.int32), -NB), KB
+    )
+    valid_b = jnp.arange(KB) < jnp.minimum(nb, KB)
+    bids = jnp.where(valid_b, bids, 0).astype(jnp.int32)
+    idx = (bids[:, None] * B + jnp.arange(B)[None, :]).reshape(-1)
+    valid = jnp.repeat(valid_b, B)
+    F = mT.shape[0]
+    xsT = jnp.take(mT.reshape(F, NB, B), bids, axis=1).reshape(F, Q)
+    w_sub = jnp.where(
+        valid, jnp.take(lengths.reshape(NB, B), bids, axis=0).reshape(-1), 0.0
+    )
+    kept_sub = valid & jnp.take(kept.reshape(NB, B), bids, axis=0).reshape(-1)
+    d0_sub = jnp.where(
+        valid, jnp.take(d0.reshape(NB, B), bids, axis=0).reshape(-1), jnp.inf
+    )
+    seed_slot = jnp.argmax(bids == seed // B).astype(jnp.int32) * B + seed % B
+    density0 = jnp.sum(
+        jnp.where(
+            (d0_sub <= _MEDOID_RADIUS) & kept_sub,
+            w_sub * (_MEDOID_RADIUS - d0_sub),
+            0.0,
+        )
+    )
+    return ok, idx, xsT, w_sub, kept_sub, d0_sub, seed_slot, density0
+
+
+@partial(jax.jit, static_argnames=("C",))
+def _k_subset_candidates(key, d_s, kept_sub, tried_s, slot, C):
+    "Engine subset-body sampling: Gumbel top-k over eligible subset slots."
+    Q = d_s.shape[0]
+    iq = jnp.arange(Q)
+    key, k1 = jax.random.split(key)
+    elig = (d_s <= _MEDOID_RADIUS) & kept_sub & ~tried_s & (iq != slot)
+    gumbel = -jnp.log(-jnp.log(jax.random.uniform(k1, (Q,)) + 1e-20) + 1e-20)
+    score = jnp.where(elig, gumbel, -jnp.inf)
+    if _USE_APPROX_TOPK:
+        _, cand = jax.lax.approx_max_k(score, C)
+    else:
+        _, cand = jax.lax.top_k(score, C)
+    return key, cand, elig[cand]
+
+
+@jax.jit
+def _k_subset_wander(xsT, w_sub, kept_sub, cand):
+    "Engine subset-body distance+density matmul over the gathered blocks."
+    iq = jnp.arange(xsT.shape[1])
+    rows = xsT[:, cand]
+    D = 0.5 - jnp.einsum(
+        "fc,fq->cq", rows, xsT, precision=_PREC,
+        preferred_element_type=jnp.float32,
+    )
+    self_m = iq[None, :] == cand[:, None]
+    kept_b = kept_sub[None, :]
+    dens = jnp.sum(
+        jnp.where(
+            self_m & kept_b,
+            w_sub[None, :] * _MEDOID_RADIUS,
+            jnp.where(
+                (D <= _MEDOID_RADIUS) & kept_b & ~self_m,
+                w_sub[None, :] * (_MEDOID_RADIUS - D),
+                0.0,
+            ),
+        ),
+        axis=1,
+    )
+    return D, dens
+
+
+@jax.jit
+def _k_full_row(mT, medoid):
+    "Engine full_row: one full distance sweep, self-distance zeroed."
+    d = 0.5 - jnp.einsum(
+        "fn,f->n", mT, mT[:, medoid], precision=_PREC,
+        preferred_element_type=jnp.float32,
+    )
+    return d.at[medoid].set(0.0)
+
+
 @jax.jit
 def _k_histogram(d, lengths, kept):
     bins = jnp.clip((d / _DELTA_X).astype(jnp.int32), 0, _NBINS - 1)
@@ -203,6 +295,7 @@ class SequentialOracle:
         minsuccesses: int = 15,
         rng_seed: int = 0,
         pad_multiple: int = _LANES,
+        wander_scope: str = "full",
     ):
         # pad_multiple must match the engine's column tile (128 * mesh size)
         # because the Gumbel draws span the padded width
@@ -239,6 +332,11 @@ class SequentialOracle:
         # matmul at the same points, so d0 is numerically identical
         self.spec_seeds = np.full(_SPEC, -1, np.int64)
         self.spec_d = np.zeros((_SPEC, n_pad), np.float32)
+        # subset-wander mirror (engine wander_scope="subset")
+        from vamb_tpu.cluster import _SUBSET_Q
+
+        self.wander_scope = wander_scope
+        self.Q = min(_SUBSET_Q, n_pad)
 
     # -- reference control flow, one rule per method ----------------------
 
@@ -326,6 +424,113 @@ class SequentialOracle:
             if not jumped:
                 return medoid, d_np
 
+    def _full_climb(self, medoid, d, density, tried, key):
+        "The classic full-sweep climb from an arbitrary starting state."
+        kept_j = jnp.asarray(self.kept)
+        d = jnp.asarray(d)
+        while True:
+            key, cand, cand_valid = _k_candidates(
+                key, d, kept_j, jnp.asarray(tried), medoid, self.C
+            )
+            cand = np.asarray(cand)
+            cand_valid = np.asarray(cand_valid)
+            D, dens = _k_batched_wander(self.mT, self.lengths, kept_j, cand)
+            dens = np.asarray(dens)
+            jumped = False
+            for j in range(self.C):
+                if not cand_valid[j]:
+                    continue
+                tried[cand[j]] = True
+                if dens[j] > density:
+                    medoid = int(cand[j])
+                    d = D[j]
+                    density = float(dens[j])
+                    jumped = True
+                    break
+            if not jumped:
+                return medoid
+
+    def wander_subset(self, seed: int, d0: np.ndarray, sub_key):
+        """Mirror of the engine's two-phase subset wander: climb inside the
+        seed's gathered block-ball with the same jitted kernels, fall back
+        to the full-sweep climb on overflow/drift, and recompute the final
+        full distance row unconditionally (the engine does — see
+        cluster.py wander, subset branch)."""
+        from vamb_tpu.cluster import _SUBSET_ABORT
+
+        d0_j = jnp.asarray(d0)
+        kept_j = jnp.asarray(self.kept)
+        tried0 = np.zeros(self.n_pad, bool)
+        tried0[seed] = True
+        no_cand = not np.any(self.kept & (d0 <= _MEDOID_RADIUS) & ~tried0)
+        key = sub_key
+
+        ok_j, idx, xsT, w_sub, kept_sub, d0_sub, seed_slot, density0 = (
+            _k_subset_build(self.mT, self.lengths, kept_j, d0_j, seed, self.Q)
+        )
+        ok = bool(ok_j)
+        idx = np.asarray(idx)
+        d0_sub = np.asarray(d0_sub)
+        kept_sub_np = np.asarray(kept_sub)
+
+        medoid = seed
+        abort = False
+        density = float(density0) if ok else None
+        tried_s = np.zeros(self.Q, bool)
+        slot = int(seed_slot)
+        tried_s[slot] = True
+        d_s = jnp.asarray(d0_sub)
+
+        if ok and not no_cand:
+            while True:
+                key, cand, cand_valid = _k_subset_candidates(
+                    key, d_s, jnp.asarray(kept_sub_np), jnp.asarray(tried_s),
+                    slot, self.C,
+                )
+                cand = np.asarray(cand)
+                cand_valid = np.asarray(cand_valid)
+                D, dens = _k_subset_wander(
+                    xsT, jnp.asarray(w_sub), jnp.asarray(kept_sub_np),
+                    jnp.asarray(cand),
+                )
+                dens = np.asarray(dens)
+                jumped = False
+                for j in range(self.C):
+                    if not cand_valid[j]:
+                        continue
+                    tried_s[cand[j]] = True
+                    if dens[j] > density:
+                        slot = int(cand[j])
+                        d_row = np.array(D[j])
+                        d_row[slot] = 0.0
+                        d_s = jnp.asarray(d_row)
+                        density = float(dens[j])
+                        jumped = True
+                        break
+                if not jumped:
+                    break
+                if d0_sub[slot] > np.float32(_SUBSET_ABORT):
+                    abort = True
+                    break
+            medoid = int(idx[slot])
+
+        need_full = (abort or not ok) and not no_cand
+        if need_full:
+            if ok:
+                tried = np.zeros(self.n_pad, bool)
+                tried[idx[tried_s]] = True
+            else:
+                tried = tried0
+                density = float(_k_density(d0_j, self.lengths, kept_j))
+            if medoid != seed:
+                d_init = np.asarray(_k_full_row(self.mT, medoid))
+            else:
+                d_init = d0
+            medoid = self._full_climb(medoid, d_init, density, tried, key)
+
+        d = np.asarray(_k_full_row(self.mT, medoid))
+        return medoid, d
+
     def __iter__(self):
         return self
 
@@ -335,7 +540,10 @@ class SequentialOracle:
         while True:
             seed, d0 = self.seed_distances()
             self.key, sub = jax.random.split(self.key)
-            medoid, d = self.wander(seed, d0, sub)
+            if self.wander_scope == "subset":
+                medoid, d = self.wander_subset(seed, d0, sub)
+            else:
+                medoid, d = self.wander(seed, d0, sub)
 
             kept_j = jnp.asarray(self.kept)
             n_close = int(np.sum((d < _MEDOID_RADIUS) & self.kept))

@@ -120,3 +120,45 @@ class TestClusterParity:
         rng = np.random.default_rng(6)
         lengths = (2.0 ** rng.integers(11, 16, len(matrix))).astype(np.float32)
         assert_same_emission(matrix, lengths, rng_seed=2)
+
+
+class TestSubsetWanderParity:
+    """Emission parity for wander_scope='subset' — the large-N fast path
+    (block-gathered neighborhood climb with full-sweep fallback). Forced on
+    at small N so the sequential oracle (which mirrors the subset kernels,
+    the drift/overflow fallback rule and the unconditional final row
+    recompute) stays tractable."""
+
+    def test_clumpy_subset(self):
+        matrix, lengths = clumpy_latents(25, 25, 32, noise_frac=0.2, seed=2)
+        assert_same_emission(
+            matrix, lengths, rng_seed=7, windowsize=60, wander_scope="subset"
+        )
+
+    def test_subset_large_10k_crosses_fallbacks(self):
+        "10k points: subset overflow/drift fallbacks must mirror exactly."
+        matrix, lengths = clumpy_latents(120, 70, 32, noise_frac=0.2, seed=4)
+        assert len(matrix) >= 10_000
+        assert_same_emission(
+            matrix, lengths, rng_seed=13, windowsize=120, wander_scope="subset"
+        )
+
+    def test_subset_dense_overflow_regime(self):
+        """A single dense clump larger than the block budget forces the
+        overflow fallback on most attempts."""
+        rng = np.random.default_rng(8)
+        matrix = (
+            rng.normal(size=(1, 16))
+            + 0.02 * rng.normal(size=(3000, 16))
+        ).astype(np.float32)
+        lengths = rng.integers(2000, 50_000, len(matrix)).astype(np.float32)
+        import vamb_tpu.cluster as vc
+
+        old_q = vc._SUBSET_Q
+        vc._SUBSET_Q = 1 << 9  # block budget of 4 blocks: overflow-heavy
+        try:
+            assert_same_emission(
+                matrix, lengths, rng_seed=3, wander_scope="subset"
+            )
+        finally:
+            vc._SUBSET_Q = old_q

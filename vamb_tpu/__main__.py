@@ -51,13 +51,10 @@ def add_help_arguments(parser):
     helpos = parser.add_argument_group(title="Help and version")
     helpos.add_argument("-h", "--help", help="Print help and exit", action="help")
 
-    def _version(p):
-        import vamb_tpu
-
-        return f"vamb_tpu {vamb_tpu.__version__}"
+    from . import __version__
 
     helpos.add_argument(
-        "--version", action="version", version="vamb_tpu 0.1.0"
+        "--version", action="version", version=f"vamb_tpu {__version__}"
     )
 
 
@@ -354,6 +351,11 @@ def add_clustering_arguments(subparser):
         choices=["auto", "pallas", "xla"],
         help=argparse.SUPPRESS,
     )
+    clusto.add_argument(
+        "--wander_scope", metavar="", type=str, default="auto",
+        choices=["auto", "subset", "full"],
+        help=argparse.SUPPRESS,
+    )
     return subparser
 
 
@@ -470,6 +472,7 @@ def _cluster_options_from_args(args):
         max_clusters=args.max_clusters,
         distance_dtype=args.distance_dtype,
         wander_kernel=args.wander_kernel,
+        wander_scope=args.wander_scope,
     )
 
 

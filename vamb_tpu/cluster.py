@@ -45,10 +45,25 @@ TPU-first architecture (a re-design, not a port):
   any other point's neighborhood — so consecutive cached seeds that are
   loners are emitted in one iteration, refilling the cache in place (one
   matmul per _SPEC_SEEDS loners), emission-identical to sequential play.
+* **Neighborhood-subset wander** (round 3, the large-N fast path): every
+  wander candidate lies within the medoid radius and its density ball
+  another radius out, so while the walk stays near the seed, densities
+  are exact sums over a seed-centered ball. The ball's 128-row blocks are
+  gathered once per attempt (contiguous DMAs, block ids from a top_k over
+  N/128 block flags) and the whole hill climb runs on (C,F)x(F,Q≈64k)
+  matmuls instead of two full 128 MB HBM passes per step; overflow (ball
+  blocks > budget) or drift (medoid beyond the ball's safety boundary)
+  falls back mid-attempt to the classic full-sweep loop with all state
+  carried over, so every density ever compared is exact. Emission-
+  identical to the sequential oracle (which mirrors the subset kernels
+  and fallback rules; tests/test_parity_cluster.py). 1.45x full-run wall
+  at 1M on v5e; auto above 2^18 padded points (single-device f32 only).
 * **Pallas wander kernels on TPU** (`ops/pallas_cluster.py`): candidate
   densities in one matrix pass with no (C, N) distance matrix in HBM, and
-  the medoid's row recomputed each step in one pass. CPU (where the
-  parity oracles run), sharded meshes and bf16 keep the XLA expressions.
+  the medoid's row recomputed each step in one pass — the full-sweep
+  path's TPU default (used by subset-mode fallbacks and the final row
+  sweep). CPU (where the parity oracles run), sharded meshes and bf16
+  keep the XLA expressions.
 * **Masking with device-side compaction**: clustered points are masked out
   of every reduction, and when survivors fall to half the live padded size
   the surviving columns are gathered into a half-size buffer (programs for
@@ -322,6 +337,25 @@ class _Records(NamedTuple):
     n_emitted: jax.Array  # scalar i32
 
 
+# Neighborhood-subset wander (the large-N fast path): candidates are
+# within _MEDOID_RADIUS of the medoid and their densities only involve
+# points within another _MEDOID_RADIUS, so as long as the walk stays near
+# the seed, every density is an exact sum over points inside a seed-
+# centered ball of radius _SUBSET_RADIUS. Those points are gathered once
+# per attempt into a Q-column subset and the whole hill climb runs on
+# (C,F)x(F,Q) matmuls instead of full (C,F)x(F,N) sweeps — the wander was
+# two 128 MB HBM passes per step at 1M contigs, both bandwidth-bound. The
+# walk falls back to the full-sweep loop (exactly the classic body) the
+# moment the medoid drifts within 2*_MEDOID_RADIUS of the ball's edge or
+# the ball overflows Q, so every density ever compared remains an exact
+# sum of its true terms.
+_SUBSET_BLOCK = 128  # block-granular gathers: contiguous 128-row DMA chunks
+_SUBSET_Q = 1 << 16  # max gathered elements (= _SUBSET_BLOCK * max blocks)
+_SUBSET_RADIUS = 0.15
+_SUBSET_ABORT = _SUBSET_RADIUS - 2 * _MEDOID_RADIUS  # drift boundary
+_SUBSET_AUTO_MIN = 1 << 18  # auto mode: subset wander above this padded N
+
+
 def _make_emit_batch(
     windowsize: int,
     minsuccesses: int,
@@ -330,6 +364,8 @@ def _make_emit_batch(
     distance_dtype=jnp.float32,
     use_pallas: bool = False,
     replicate_outputs=None,
+    use_subset: bool = False,
+    subset_q: int = _SUBSET_Q,
 ):
     """Build the fused device program emitting up to `batch_clusters` clusters.
 
@@ -404,13 +440,16 @@ def _make_emit_batch(
         """Hill-climb from `seed` given its distance row `d0`; returns
         (medoid, d, n_dists', n_dists_eff').
 
-        Each step evaluates all sampled candidates in one (C,F)x(F,N)
-        matmul; the jump target's distance row becomes the next medoid's
+        With `use_subset`, the climb first runs inside the seed's gathered
+        _SUBSET_RADIUS ball (phase 1, (C,F)x(F,Q) matmuls); it continues in
+        the classic full-sweep loop (phase 2) only if the ball overflowed Q
+        or the medoid drifted to the ball's safety boundary. Without it,
+        each step evaluates all sampled candidates in one (C,F)x(F,N)
+        matmul and the jump target's distance row becomes the next medoid's
         distances for free.
         """
         N = matrixT.shape[1]
         iota = jnp.arange(N)
-        density0 = density_of(d0, lengths, kept)
         tried0 = jnp.zeros(N, bool).at[seed].set(True)
         if use_pallas:
             wk = jnp.where(kept, lengths, 0.0)  # kept is frozen per attempt
@@ -498,18 +537,186 @@ def _make_emit_batch(
                 n_dists_eff + upto.astype(jnp.float32) * N,
             )
 
-        init = (
-            jnp.sum(kept & (d0 <= _MEDOID_RADIUS) & ~tried0) == 0,  # no candidates
-            seed,
-            d0,
-            density0,
-            tried0,
+        no_cand = jnp.sum(kept & (d0 <= _MEDOID_RADIUS) & ~tried0) == 0
+        n_dists_eff = n_dists_eff + N  # the reference computes one matvec per seed
+
+        if not use_subset:
+            init = (no_cand, seed, d0, density_of(d0, lengths, kept),
+                    tried0, key, n_dists, n_dists_eff)
+            out = jax.lax.while_loop(cond, body, init)
+            return out[1], out[2], out[6], out[7]
+
+        # ---------------------------- phase 1: subset hill climb ----------
+        # Block-granular gather: flag the _SUBSET_BLOCK-wide blocks that
+        # contain any ball member, pick their ids with a top_k over N/128
+        # block flags (trivial), and gather WHOLE blocks — every DMA is a
+        # contiguous 128-row chunk. Elementwise index compaction
+        # (nonzero / full-length top_k / cumsum+searchsorted) all cost
+        # ~1 ms per attempt at 1M on this chip; the block scheme is ~50 us.
+        # Non-members ride along as padding, masked out of every reduction
+        # by kept_sub/ball membership tests — exactness is untouched.
+        Q = subset_q
+        B = _SUBSET_BLOCK
+        KB = Q // B
+        NB = N // B
+        iq = jnp.arange(Q)
+        ball = kept & (d0 <= _SUBSET_RADIUS)
+        block_any = jnp.any(ball.reshape(NB, B), axis=1)
+        nb = jnp.sum(block_any)
+        ok = nb <= KB
+        _, bids = jax.lax.top_k(
+            jnp.where(block_any, -jnp.arange(NB, dtype=jnp.int32), -NB), KB
+        )
+        valid_b = jnp.arange(KB) < jnp.minimum(nb, KB)
+        bids = jnp.where(valid_b, bids, 0).astype(jnp.int32)
+        idx = (bids[:, None] * B + jnp.arange(B)[None, :]).reshape(-1)  # (Q,)
+        valid = jnp.repeat(valid_b, B)
+        F = matrixT.shape[0]
+        xsT = jnp.take(
+            matrixT.reshape(F, NB, B), bids, axis=1
+        ).reshape(F, Q)
+        w_sub = jnp.where(
+            valid, jnp.take(lengths.reshape(NB, B), bids, axis=0).reshape(-1), 0.0
+        )
+        kept_sub = valid & jnp.take(
+            kept.reshape(NB, B), bids, axis=0
+        ).reshape(-1)
+        d0_sub = jnp.where(
+            valid, jnp.take(d0.reshape(NB, B), bids, axis=0).reshape(-1), jnp.inf
+        )
+        seed_slot = (
+            jnp.argmax(bids == seed // B).astype(jnp.int32) * B + seed % B
+        )  # seed has d0 = 0, so its block is always flagged
+        density0_sub = jnp.sum(
+            jnp.where(
+                (d0_sub <= _MEDOID_RADIUS) & kept_sub,
+                w_sub * (_MEDOID_RADIUS - d0_sub),
+                0.0,
+            )
+        )
+        tried0_sub = (iq == seed_slot)
+
+        def sub_cond(carry):
+            return ~carry[0] & ~carry[1]
+
+        def sub_body(carry):
+            _done, _abort, slot, d_s, density, tried_s, key, nd, nde = carry
+            key, k1 = jax.random.split(key)
+            elig = (d_s <= _MEDOID_RADIUS) & kept_sub & ~tried_s & (iq != slot)
+            gumbel = -jnp.log(
+                -jnp.log(jax.random.uniform(k1, (Q,)) + 1e-20) + 1e-20
+            )
+            score = jnp.where(elig, gumbel, -jnp.inf)
+            if _USE_APPROX_TOPK:
+                _, cand = jax.lax.approx_max_k(score, C)
+            else:
+                _, cand = jax.lax.top_k(score, C)
+            cand_valid = elig[cand]
+            rows = xsT[:, cand]  # (F, C)
+            D = 0.5 - jnp.einsum(
+                "fc,fq->cq", rows, xsT, precision=_prec,
+                preferred_element_type=jnp.float32,
+            )  # (C, Q)
+            self_m = iq[None, :] == cand[:, None]
+            kept_b = kept_sub[None, :]
+            dens = jnp.sum(
+                jnp.where(
+                    self_m & kept_b,
+                    w_sub[None, :] * _MEDOID_RADIUS,
+                    jnp.where(
+                        (D <= _MEDOID_RADIUS) & kept_b & ~self_m,
+                        w_sub[None, :] * (_MEDOID_RADIUS - D),
+                        0.0,
+                    ),
+                ),
+                axis=1,
+            )
+            better = cand_valid & (dens > density)
+            any_better = jnp.any(better)
+            j = jnp.argmax(better)
+            upto = jnp.where(any_better, j + 1, jnp.sum(cand_valid))
+            mark_idx = jnp.where(jnp.arange(C) < upto, cand, Q)
+            tried_s = tried_s.at[mark_idx].set(True, mode="drop")
+            slot = jnp.where(any_better, cand[j], slot)
+            d_jump = jnp.where(iq == cand[j], 0.0, D[j])
+            d_s = jnp.where(any_better, d_jump, d_s)
+            density = jnp.where(any_better, dens[j], density)
+            done = ~any_better
+            # drift guard: the NEXT step's candidates sit within
+            # _MEDOID_RADIUS of the new medoid and their density balls
+            # another _MEDOID_RADIUS out, so the ball stays sufficient only
+            # while d(seed, medoid) <= _SUBSET_ABORT
+            abort = any_better & (d0_sub[slot] > _SUBSET_ABORT)
+            return (
+                done, abort, slot, d_s, density, tried_s, key,
+                nd + jnp.float32(C) * Q,
+                nde + upto.astype(jnp.float32) * N,
+            )
+
+        sub_init = (
+            no_cand | ~ok,  # overflow: skip straight to the full loop
+            False,
+            seed_slot,
+            d0_sub,
+            density0_sub,
+            tried0_sub,
             key,
             n_dists,
-            n_dists_eff + N,  # the reference computes one matvec per seed
+            n_dists_eff,
         )
-        out = jax.lax.while_loop(cond, body, init)
-        return out[1], out[2], out[6], out[7]
+        (_s_done, s_abort, slot, _d_s, s_density, tried_s, key, n_dists,
+         n_dists_eff) = jax.lax.while_loop(sub_cond, sub_body, sub_init)
+
+        medoid = jnp.where(ok, idx[slot], seed)
+        need_full = (s_abort | ~ok) & ~no_cand
+        # expand subset state to full space for the (rare) phase-2 loop;
+        # the N-sized scatter only runs when that loop actually will
+        tried_full = jax.lax.cond(
+            need_full & ok,
+            lambda: jnp.zeros(N, bool).at[jnp.where(valid, idx, N)].set(
+                tried_s, mode="drop"
+            ),
+            lambda: tried0,
+        )
+        density_full = jax.lax.cond(
+            ok,
+            lambda: s_density,
+            lambda: density_of(d0, lengths, kept),
+        )
+
+        def full_row(m):
+            if use_pallas:
+                return row_sweep(matrixT, m)
+            d = 0.5 - jnp.einsum(
+                "fn,f->n", matrixT, matrixT[:, m], precision=_prec,
+                preferred_element_type=jnp.float32,
+            )
+            return d.at[m].set(0.0)
+
+        d_init = jax.lax.cond(
+            need_full & (medoid != seed),
+            lambda: full_row(medoid),
+            lambda: d0,
+        )
+        n_dists = n_dists + jnp.where(
+            need_full & (medoid != seed), jnp.float32(N), 0.0
+        )
+        out = jax.lax.while_loop(
+            cond,
+            body,
+            (~need_full, medoid, d_init, density_full, tried_full, key,
+             n_dists, n_dists_eff),
+        )
+        medoid, n_dists, n_dists_eff = out[1], out[6], out[7]
+        # Final full distance row (histogram/members need all N distances),
+        # recomputed unconditionally: a lax.cond(medoid != seed, sweep, d0)
+        # copies its 4 MB branch result, which measures as expensive as the
+        # sweep itself (0.17 ms each at 1M). When the medoid never moved
+        # this differs from the cached d0 row by dot-order ulps — the
+        # subset path's accepted divergence class, mirrored by the oracle.
+        d = full_row(medoid)
+        n_dists = n_dists + jnp.float32(N)
+        return medoid, d, n_dists, n_dists_eff
 
     def histogram(d, lengths, kept):
         "Length-weighted 60-bin histogram of kept distances in [0, 0.3]."
@@ -978,6 +1185,7 @@ class ClusterGenerator:
         compact_min_pad: int = 1 << 16,
         compact_async: bool = True,
         wander_kernel: str = "auto",
+        wander_scope: str = "auto",
     ):
         if matrix.dtype != np.float32:
             raise ValueError("Matrix must be of dtype float32")
@@ -1032,6 +1240,23 @@ class ClusterGenerator:
             and n >= (1 << 16)
             and maxsteps <= 32  # the candidate kernel's row-padding limit
         )
+        # Neighborhood-subset wander (see _make_emit_batch): the dominant
+        # large-N fast path on any backend; sharded meshes keep full sweeps
+        # (a subset gather would need a cross-shard all-gather per attempt)
+        # and bf16 distance mode keeps the classic path (subset gathers and
+        # matmuls are written f32).
+        if wander_scope not in ("auto", "subset", "full"):
+            raise ValueError(
+                f"wander_scope must be auto/subset/full, not {wander_scope}"
+            )
+        if wander_scope == "subset":
+            problems = []
+            if mesh is not None:
+                problems.append("does not support a sharded mesh")
+            if ddtype != jnp.float32:
+                problems.append("requires float32 distances")
+            if problems:
+                raise ValueError("wander_scope='subset' " + "; ".join(problems))
         col_tile = _LANES * (mesh.devices.size if mesh is not None else 1)
         if use_pallas:
             # the kernels' (tile//128, 128) output blocks need tile >= 1024;
@@ -1046,6 +1271,15 @@ class ClusterGenerator:
         order = np.argsort(lengths.astype(np.float32), kind="stable")[::-1].copy()
         padded_t = np.zeros((f_pad, n_pad), np.float32)
         padded_t[:f, :n] = matrix.T[:, order]
+
+        use_subset = wander_scope == "subset" or (
+            wander_scope == "auto"
+            and mesh is None
+            and ddtype == jnp.float32
+            and n_pad >= _SUBSET_AUTO_MIN
+        )
+        self._use_subset = use_subset
+        self._subset_q = min(_SUBSET_Q, n_pad)
 
         if mesh is None:
             put_cols = jnp.asarray
@@ -1104,6 +1338,7 @@ class ClusterGenerator:
             windowsize, minsuccesses, min(maxsteps, n_pad), batch_clusters,
             distance_dtype=ddtype, use_pallas=use_pallas,
             replicate_outputs=replicate_outputs,
+            use_subset=use_subset, subset_q=self._subset_q,
         )
         self._pending: list[Cluster] = []
         self._emitted_total = 0

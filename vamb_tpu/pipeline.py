@@ -133,6 +133,9 @@ class ClusterOptions:
     distance_dtype: str = "float32"
     # auto / pallas / xla — see ClusterGenerator(wander_kernel=...)
     wander_kernel: str = "auto"
+    # auto / subset / full — neighborhood-subset wander (the large-N fast
+    # path, see ClusterGenerator(wander_scope=...))
+    wander_scope: str = "auto"
 
 
 @dataclass
@@ -347,6 +350,7 @@ def cluster_and_write_files(
         mesh=default_mesh(),
         distance_dtype=cluster_options.distance_dtype,
         wander_kernel=cluster_options.wander_kernel,
+        wander_scope=cluster_options.wander_scope,
     )
     clusters = itertools.islice(generator, cluster_options.max_clusters)
 
