@@ -1334,12 +1334,36 @@ class ClusterGenerator:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             replicate_outputs = NamedSharding(mesh, P())
-        self._emit_batch = _make_emit_batch(
-            windowsize, minsuccesses, min(maxsteps, n_pad), batch_clusters,
-            distance_dtype=ddtype, use_pallas=use_pallas,
-            replicate_outputs=replicate_outputs,
-            use_subset=use_subset, subset_q=self._subset_q,
-        )
+        # per-size program builder: below the subset floor the ball gather
+        # covers most of the matrix, so the compaction ladder's smaller
+        # programs switch back to full sweeps (Q-sized top_k/gather per
+        # attempt was pure overhead once n_pad ~ Q — the 262k quality-A/B
+        # ran 2.4x slower compacted than not before this). Forced scopes
+        # apply at every size. Scope switching only happens below the
+        # compaction floor, already outside the emission-parity net.
+        self._wander_scope = wander_scope
+        self._emit_cache: dict = {}
+
+        def emit_fn_for(live_pad: int):
+            subset_here = wander_scope == "subset" or (
+                use_subset and live_pad >= _SUBSET_AUTO_MIN
+            )
+            q = min(self._subset_q, live_pad) if subset_here else 0
+            fn = self._emit_cache.get((subset_here, q))
+            if fn is None:
+                fn = _make_emit_batch(
+                    windowsize, minsuccesses, min(maxsteps, n_pad),
+                    batch_clusters,
+                    distance_dtype=ddtype, use_pallas=use_pallas,
+                    replicate_outputs=replicate_outputs,
+                    use_subset=subset_here,
+                    subset_q=q,
+                )
+                self._emit_cache[(subset_here, q)] = fn
+            return fn
+
+        self._emit_fn_for = emit_fn_for
+        self._emit_batch = emit_fn_for(n_pad)
         self._pending: list[Cluster] = []
         self._emitted_total = 0
         self.n_emitted_clusters = 0
@@ -1458,7 +1482,7 @@ class ClusterGenerator:
             spec_seeds=sds((_SPEC_SEEDS,), jnp.int32),
             spec_d=sds((_SPEC_SEEDS, n_pad), jnp.float32),
         )
-        return self._emit_batch.lower(
+        return self._emit_fn_for(n_pad).lower(
             sds((self._f_pad, n_pad), self._ddtype),
             sds((n_pad,), jnp.float32),
             state,
@@ -1514,7 +1538,9 @@ class ClusterGenerator:
 
     def _launch(self) -> None:
         "Enqueue one device batch and start its result copies to host."
-        fn = self._ready_exec.get(self._n_live_pad) or self._emit_batch
+        fn = self._ready_exec.get(self._n_live_pad) or self._emit_fn_for(
+            self._n_live_pad
+        )
         self._state, ints, flts, delta = fn(
             self.matrixT, self.lengths, self._state
         )
