@@ -1133,6 +1133,13 @@ def _compact_arrays(matrixT, lengths, state: _State, idx2old, valid):
     return mT2, lengths2, state2
 
 
+# Process-level cache of AOT-compiled emit programs, keyed by every static
+# program input (see ClusterGenerator._exec_cache_key). Executables are
+# small; keeping them for the process lifetime makes repeat generators of
+# the same geometry trace-free.
+_EXEC_CACHE: dict = {}
+
+
 # ------------------------------------------------------------- host wrapper
 
 
@@ -1389,6 +1396,25 @@ class ClusterGenerator:
         self._row_assigned = np.zeros(n, bool)  # current engine-row space
         self._ready_exec: dict = {}  # padded size -> AOT executable (or None)
         self._compiling: set = set()
+        # Process-level executable sharing: constructing a second generator
+        # with the same geometry must not re-trace the (large) emit program
+        # — tracing alone costs >1 s of the single host core, and XLA's
+        # persistent cache only covers the compile step, not tracing. The
+        # key carries every static program input. Mesh runs keep inline jit
+        # (AOT lowering would need explicit in_shardings).
+        self._exec_cache_key = (
+            None
+            if mesh is not None
+            else (
+                f_pad, windowsize, minsuccesses, min(maxsteps, n_pad),
+                batch_clusters, str(ddtype), use_pallas, wander_scope,
+                use_subset, self._subset_q, _SUBSET_BLOCK,
+            )
+        )
+        if self._exec_cache_key is not None:
+            # compile the starting size up front (cache-hit fast on repeat
+            # geometries) so the first dispatch never traces
+            self._ready_exec[n_pad] = self._lower_for(n_pad)
         self._spawn_precompile()
 
     def __repr__(self) -> str:
@@ -1463,7 +1489,13 @@ class ClusterGenerator:
         threading.Thread(target=work, daemon=False).start()
 
     def _lower_for(self, n_pad: int):
-        "AOT-compile the emit program for a compacted size."
+        "AOT-compile the emit program for a live size (process-level cache)."
+        key = None
+        if self._exec_cache_key is not None:
+            key = (*self._exec_cache_key, n_pad)
+            hit = _EXEC_CACHE.get(key)
+            if hit is not None:
+                return hit
         sds = jax.ShapeDtypeStruct
         state = _State(
             kept=sds((n_pad,), jnp.bool_),
@@ -1482,11 +1514,14 @@ class ClusterGenerator:
             spec_seeds=sds((_SPEC_SEEDS,), jnp.int32),
             spec_d=sds((_SPEC_SEEDS, n_pad), jnp.float32),
         )
-        return self._emit_fn_for(n_pad).lower(
+        compiled = self._emit_fn_for(n_pad).lower(
             sds((self._f_pad, n_pad), self._ddtype),
             sds((n_pad,), jnp.float32),
             state,
         ).compile()
+        if key is not None:
+            _EXEC_CACHE[key] = compiled
+        return compiled
 
     def _compaction_target_ready(self) -> Optional[int]:
         """Ladder size to compact to now, or None. Uses the survivor count
