@@ -872,71 +872,91 @@ def _make_emit_batch(
                 """
 
                 def consume(state, recs, flags, slot_start):
-                    "Emit loner/dead slots from slot_start until a stop."
+                    """Emit loner/dead slots from slot_start until a stop.
 
-                    def it(s, carry):
-                        state, recs, cont = carry
-                        seed_s = state.spec_seeds[s]
-                        in_range = s >= slot_start
-                        alive = (seed_s >= 0) & state.kept[seed_s]
-                        emit_s = (
-                            cont
-                            & in_range
-                            & alive
-                            & flags[s]
-                            & (recs.n_emitted < K)
-                        )
-                        # dead slots were clustered since the cache fill;
-                        # the scan would skip them, so the burst does too
-                        skip_s = cont & in_range & ~alive
-                        cont = jnp.where(in_range, emit_s | skip_s, cont)
-                        st = jnp.int32(1) * emit_s
-                        state = state._replace(
-                            kept=state.kept.at[seed_s].set(
-                                jnp.where(emit_s, False, state.kept[seed_s])
-                            ),
-                            labels=state.labels.at[seed_s].set(
-                                jnp.where(
-                                    emit_s, state.next_cid, state.labels[seed_s]
-                                )
-                            ),
-                            n_remaining=state.n_remaining - st,
-                            next_cid=state.next_cid + st,
-                            order_pos=jnp.where(
-                                emit_s, seed_s + 1, state.order_pos
-                            ),
-                            key=jnp.where(
-                                emit_s,
-                                jax.random.split(state.key)[0],
-                                state.key,
-                            ),
-                            # mirror the sequential loner attempt's
-                            # accounting: one seed sweep (effective) + one
-                            # histogram pass
-                            n_dists=state.n_dists + st * N,
-                            n_dists_eff=state.n_dists_eff + st * N,
-                        )
-                        i = recs.n_emitted
+                    All S slots decided at once with prefix logic
+                    (bit-equivalent to the sequential walk: a slot is
+                    reached iff every in-range slot before it emitted or
+                    was dead, and capacity blocks everything after). The
+                    old per-slot fori_loop sequenced ~80 tiny device ops
+                    per burst of 8, which dominated the loner-tail regime.
+                    """
 
-                        def w(arr, val):
-                            return arr.at[i].set(jnp.where(emit_s, val, arr[i]))
-
-                        recs = _Records(
-                            medoid=w(recs.medoid, seed_s),
-                            seed=w(recs.seed, seed_s),
-                            kind=w(recs.kind, _KIND_LONER),
-                            radius=w(recs.radius, jnp.nan),
-                            observed_pvr=w(recs.observed_pvr, jnp.nan),
-                            pvr=w(recs.pvr, state.pvr),
-                            successes=w(recs.successes, state.successes),
-                            attempts=w(recs.attempts, state.attempts_len),
-                            n_emitted=i + st,
-                        )
-                        return state, recs, cont
-
-                    return jax.lax.fori_loop(
-                        0, _SPEC_SEEDS, it, (state, recs, True)
+                    s_arr = jnp.arange(_SPEC_SEEDS)
+                    seeds = state.spec_seeds
+                    in_range = s_arr >= slot_start
+                    safe_seed = jnp.where(seeds >= 0, seeds, 0)
+                    # near the end of a run the seed scan wraps and the
+                    # cache holds the same seed in several slots; the
+                    # sequential walk skips the repeat (its point is gone
+                    # by then), so a repeat counts as dead here
+                    is_dup = jnp.any(
+                        (seeds[:, None] == seeds[None, :])
+                        & (s_arr[None, :] < s_arr[:, None]),
+                        axis=1,
                     )
+                    alive = (seeds >= 0) & state.kept[safe_seed] & ~is_dup
+                    # slot lets the walk continue: emit (alive loner) or
+                    # skip (dead); an alive non-loner stops it
+                    ok = jnp.where(in_range, jnp.where(alive, flags, True), True)
+                    reached = jnp.concatenate(
+                        [jnp.ones(1, bool), jnp.cumprod(ok)[:-1].astype(bool)]
+                    )
+                    emit_try = in_range & alive & flags & reached
+                    rank = jnp.cumsum(emit_try) - emit_try
+                    capacity = K - recs.n_emitted
+                    emit = emit_try & (rank < capacity)
+                    count = jnp.sum(emit)
+                    # sequential cont survives the batch iff no stop and no
+                    # capacity block occurred
+                    cont = jnp.all(ok) & (count == jnp.sum(emit_try))
+
+                    scatter_at = jnp.where(emit, seeds, N)
+                    cids = state.next_cid + rank.astype(jnp.int32)
+                    # key chain: one split per emitted loner, exactly the
+                    # sequential per-attempt splits
+                    def key_step(key, e):
+                        return jnp.where(e, jax.random.split(key)[0], key), None
+                    new_key, _ = jax.lax.scan(key_step, state.key, emit)
+                    last_slot = (
+                        _SPEC_SEEDS - 1 - jnp.argmax(emit[::-1])
+                    )
+                    any_emit = count > 0
+                    countf = count.astype(jnp.float32)
+                    state = state._replace(
+                        kept=state.kept.at[scatter_at].set(False, mode="drop"),
+                        labels=state.labels.at[scatter_at].set(
+                            cids, mode="drop"
+                        ),
+                        n_remaining=state.n_remaining - count,
+                        next_cid=state.next_cid + count,
+                        order_pos=jnp.where(
+                            any_emit, seeds[last_slot] + 1, state.order_pos
+                        ),
+                        key=new_key,
+                        # mirror the sequential loner attempt's accounting:
+                        # one seed sweep (effective) + one histogram pass
+                        n_dists=state.n_dists + countf * N,
+                        n_dists_eff=state.n_dists_eff + countf * N,
+                    )
+                    rec_pos = jnp.where(emit, recs.n_emitted + rank, K)
+
+                    def w(arr, vals):
+                        return arr.at[rec_pos].set(vals, mode="drop")
+
+                    ones = jnp.ones(_SPEC_SEEDS)
+                    recs = _Records(
+                        medoid=w(recs.medoid, seeds),
+                        seed=w(recs.seed, seeds),
+                        kind=w(recs.kind, jnp.full(_SPEC_SEEDS, _KIND_LONER, jnp.int32)),
+                        radius=w(recs.radius, ones * jnp.nan),
+                        observed_pvr=w(recs.observed_pvr, ones * jnp.nan),
+                        pvr=w(recs.pvr, ones * state.pvr),
+                        successes=w(recs.successes, jnp.full(_SPEC_SEEDS, 1, jnp.int32) * state.successes),
+                        attempts=w(recs.attempts, jnp.full(_SPEC_SEEDS, 1, jnp.int32) * state.attempts_len),
+                        n_emitted=recs.n_emitted + count,
+                    )
+                    return state, recs, cont
 
                 # Outer loop: when every remaining slot was consumed as a
                 # loner (or dead), refill the cache — exactly what the next
