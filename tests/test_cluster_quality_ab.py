@@ -64,6 +64,61 @@ def _run(matrix, lengths, **kwargs):
     return [cl.members for cl in gen]
 
 
+def test_subset_wander_matches_full_on_wide_clusters():
+    """Subset-vs-full quality on WIDE clusters — the regime where the
+    subset wander's locality bias actually bites. d = (1 - cos)/2 is half
+    squared chord distance, so a cluster with intra-cluster distances up
+    to ~0.2 has eligible candidates and density contributors beyond the
+    0.15 gather ball (see cluster.py at _SUBSET_RADIUS); the approximation
+    may then settle on different medoids than the exact full sweep. This
+    asserts the difference stays invisible at the bin-quality level."""
+    rng = np.random.default_rng(23)
+    n_blobs, per_blob, d = 24, 180, 16
+    centers = rng.standard_normal((n_blobs, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, truth_l = [], []
+    for b, c in enumerate(centers):
+        # cone of half-angle up to ~33 deg: intra-cluster d up to ~0.2
+        u = rng.standard_normal((per_blob, d)).astype(np.float32)
+        u -= (u @ c)[:, None] * c
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        phi = rng.uniform(0, 0.58, per_blob)[:, None]
+        rows.append(np.cos(phi) * c + np.sin(phi) * u)
+        truth_l += [b] * per_blob
+    matrix = np.concatenate(rows).astype(np.float32)
+    truth = np.asarray(truth_l)
+    lengths = rng.integers(2000, 50_000, len(matrix))
+    matrix = normalize(matrix, inplace=True)
+
+    counts = {}
+    for scope in ("full", "subset"):
+        gen = ClusterGenerator(
+            matrix.copy(), lengths, normalized=True, wander_scope=scope
+        )
+        bins = [cl.members for cl in gen]
+        emitted = np.concatenate([np.asarray(m) for m in bins])
+        assert len(np.unique(emitted)) == len(matrix) == len(emitted), scope
+        counts[scope] = _wide_nc(bins, truth, lengths, n_blobs)
+    assert abs(counts["subset"] - counts["full"]) <= 1, counts
+    assert counts["full"] >= n_blobs * 0.5, counts  # dataset has signal
+
+
+def _wide_nc(bins, truth, lengths, n_blobs):
+    blob_bases = np.zeros(n_blobs, np.int64)
+    np.add.at(blob_bases, truth, lengths)
+    best = np.zeros(n_blobs)
+    for members in bins:
+        idx = np.asarray(members, np.int64)
+        total = int(lengths[idx].sum())
+        per_b: dict[int, int] = {}
+        for b, ln in zip(truth[idx], lengths[idx]):
+            per_b[int(b)] = per_b.get(int(b), 0) + int(ln)
+        for b, bases in per_b.items():
+            if bases / total >= 0.95:
+                best[b] = max(best[b], bases / blob_bases[b])
+    return int(np.sum(best >= 0.90))
+
+
 def test_compaction_and_wander_paths_match_quality(dataset):
     matrix, lengths, truth = dataset
     # floor low enough that the 6144-point run crosses the ladder twice

@@ -127,7 +127,15 @@ class TestSubsetWanderParity:
     (block-gathered neighborhood climb with full-sweep fallback). Forced on
     at small N so the sequential oracle (which mirrors the subset kernels,
     the drift/overflow fallback rule and the unconditional final row
-    recompute) stays tractable."""
+    recompute) stays tractable.
+
+    Scope of the claim: subset mode is a documented APPROXIMATE
+    medoid-selection heuristic (see cluster.py at _SUBSET_RADIUS), so the
+    oracle here mirrors the engine's own kernels — these tests pin the
+    implementation (sequential-vs-fused transcription, burst/fallback/RNG
+    bookkeeping), NOT exactness against the full-sweep algorithm. Quality
+    equivalence against the exact path is asserted separately
+    (tests/test_cluster_quality_ab.py and the bench A/B)."""
 
     def test_clumpy_subset(self):
         matrix, lengths = clumpy_latents(25, 25, 32, noise_frac=0.2, seed=2)

@@ -151,9 +151,19 @@ def _maybe_init_distributed(args) -> None:
     """
     nprocs = getattr(args, "nprocs", None)
     auto = getattr(args, "dist", False)
+    procid = getattr(args, "procid", None)
+    coordinator = getattr(args, "coordinator", None)
     if not auto and nprocs is None:
+        if procid is not None or coordinator is not None:
+            # fail fast: a forgotten --nprocs would otherwise run N
+            # independent single-process pipelines that clobber each
+            # other's outputs in the shared --outdir
+            raise SystemExit(
+                "--procid/--coordinator require --nprocs (explicit "
+                "multi-process launch) or --dist (auto-detection)"
+            )
         return
-    if nprocs is not None and getattr(args, "procid", None) is None:
+    if nprocs is not None and procid is None:
         raise SystemExit("--nprocs requires --procid (and usually --coordinator)")
 
     from .parallel import distributed_init

@@ -45,19 +45,22 @@ TPU-first architecture (a re-design, not a port):
   any other point's neighborhood — so consecutive cached seeds that are
   loners are emitted in one iteration, refilling the cache in place (one
   matmul per _SPEC_SEEDS loners), emission-identical to sequential play.
-* **Neighborhood-subset wander** (round 3, the large-N fast path): every
-  wander candidate lies within the medoid radius and its density ball
-  another radius out, so while the walk stays near the seed, densities
-  are exact sums over a seed-centered ball. The ball's 128-row blocks are
+* **Neighborhood-subset wander** (round 3, the large-N fast path): the
+  hill climb runs over a seed-centered ball whose 128-row blocks are
   gathered once per attempt (contiguous DMAs, block ids from a top_k over
-  N/128 block flags) and the whole hill climb runs on (C,F)x(F,Q≈64k)
-  matmuls instead of two full 128 MB HBM passes per step; overflow (ball
-  blocks > budget) or drift (medoid beyond the ball's safety boundary)
-  falls back mid-attempt to the classic full-sweep loop with all state
-  carried over, so every density ever compared is exact. Emission-
-  identical to the sequential oracle (which mirrors the subset kernels
-  and fallback rules; tests/test_parity_cluster.py). 1.45x full-run wall
-  at 1M on v5e; auto above 2^18 padded points (single-device f32 only).
+  N/128 block flags) — (C,F)x(F,Q≈64k) matmuls instead of two full
+  128 MB HBM passes per step; ball overflow or medoid drift falls back
+  mid-attempt to the classic full-sweep loop with all state carried over.
+  An APPROXIMATE medoid-selection heuristic: d is half squared chord
+  distance, so an exact ball needs radius 9r = 0.45 (a third of all
+  points at dim 32), which would defeat the subset — see the analysis at
+  _SUBSET_RADIUS. The locality bias affects only which medoid the walk
+  settles on; thresholds, members, and loner/fallback classification all
+  come from exact full-length rows. Emission-pinned against the
+  sequential oracle's mirror of the same kernels and quality-pinned
+  against the exact full-scope path (bench A/B + wide-cluster CPU test).
+  1.45x full-run wall at 1M on v5e; auto above 2^18 padded points
+  (single-device f32 only); `wander_scope="full"` restores exactness.
 * **Pallas wander kernels on TPU** (`ops/pallas_cluster.py`): candidate
   densities in one matrix pass with no (C, N) distance matrix in HBM, and
   the medoid's row recomputed each step in one pass — the full-sweep
@@ -337,18 +340,34 @@ class _Records(NamedTuple):
     n_emitted: jax.Array  # scalar i32
 
 
-# Neighborhood-subset wander (the large-N fast path): candidates are
-# within _MEDOID_RADIUS of the medoid and their densities only involve
-# points within another _MEDOID_RADIUS, so as long as the walk stays near
-# the seed, every density is an exact sum over points inside a seed-
-# centered ball of radius _SUBSET_RADIUS. Those points are gathered once
-# per attempt into a Q-column subset and the whole hill climb runs on
-# (C,F)x(F,Q) matmuls instead of full (C,F)x(F,N) sweeps — the wander was
-# two 128 MB HBM passes per step at 1M contigs, both bandwidth-bound. The
-# walk falls back to the full-sweep loop (exactly the classic body) the
-# moment the medoid drifts within 2*_MEDOID_RADIUS of the ball's edge or
-# the ball overflows Q, so every density ever compared remains an exact
-# sum of its true terms.
+# Neighborhood-subset wander (the large-N fast path): the hill climb runs
+# over points gathered from a seed-centered ball of radius _SUBSET_RADIUS,
+# with (C,F)x(F,Q) matmuls instead of two full 128 MB HBM passes per step
+# at 1M contigs. The walk falls back to the full-sweep loop (exactly the
+# classic body, with all state carried over) when the ball overflows the
+# block budget or the medoid drifts past _SUBSET_ABORT from the seed.
+#
+# This is a deliberately APPROXIMATE medoid-selection heuristic, not an
+# exact restriction. d = 0.5 - x.y is HALF SQUARED chord distance on the
+# 1/sqrt(2)-sphere, so the triangle inequality holds in sqrt(d): an
+# eligible candidate (within r=_MEDOID_RADIUS of a medoid that has
+# drifted at most A=_SUBSET_ABORT) can sit at d0 up to (sqrt(A)+sqrt(r))^2
+# = 0.2 from the seed, and its density contributors at up to
+# (sqrt(A)+2*sqrt(r))^2 = 0.45 — beyond the 0.15 ball. A sound radius is
+# therefore >= 9r = 0.45 even with zero drift, and at latent dimension 32
+# such a ball typically covers a third of ALL points, which defeats the
+# subset entirely: exactness and the speedup are incompatible under this
+# metric. The bias is a pure locality preference in WHICH medoid the walk
+# settles on (edge candidates may be invisible or density-undercounted);
+# everything downstream of the medoid — the threshold histogram, member
+# selection, loner/fallback classification — is computed from exact
+# full-length distance rows. Validation is therefore two-level: the
+# sequential oracle mirrors these kernels so emission tests pin the
+# implementation (a transcription check, not a reference-exactness
+# proof), and quality-level equivalence against the exact full-scope path
+# is asserted every round by the bench A/B and the wide-cluster CPU test
+# (tests/test_cluster_quality_ab.py). `wander_scope="full"` restores the
+# exact path.
 _SUBSET_BLOCK = 128  # block-granular gathers: contiguous 128-row DMA chunks
 _SUBSET_Q = 1 << 16  # max gathered elements (= _SUBSET_BLOCK * max blocks)
 _SUBSET_RADIUS = 0.15
@@ -886,13 +905,22 @@ def _make_emit_batch(
                     seeds = state.spec_seeds
                     in_range = s_arr >= slot_start
                     safe_seed = jnp.where(seeds >= 0, seeds, 0)
-                    # near the end of a run the seed scan wraps and the
-                    # cache holds the same seed in several slots; the
-                    # sequential walk skips the repeat (its point is gone
-                    # by then), so a repeat counts as dead here
+                    # Near the end of a run the seed scan wraps and the
+                    # cache holds the same seed in several slots. Within
+                    # THIS consume call, a repeat is dead exactly when an
+                    # earlier IN-RANGE duplicate exists: if that one emits,
+                    # the point is gone by the time the walk reaches the
+                    # repeat; if it stops the chain, the repeat is never
+                    # reached (marking it dead is then harmless). A
+                    # duplicate whose earlier occurrence sits BEFORE
+                    # slot_start (served to a prior attempt that may have
+                    # rejected, leaving the point kept) must NOT be
+                    # masked — the sequential walk re-examines live kept[]
+                    # there, and so does `alive` below.
                     is_dup = jnp.any(
                         (seeds[:, None] == seeds[None, :])
-                        & (s_arr[None, :] < s_arr[:, None]),
+                        & (s_arr[None, :] < s_arr[:, None])
+                        & (s_arr[None, :] >= slot_start),
                         axis=1,
                     )
                     alive = (seeds >= 0) & state.kept[safe_seed] & ~is_dup
@@ -1154,10 +1182,18 @@ def _compact_arrays(matrixT, lengths, state: _State, idx2old, valid):
 
 
 # Process-level cache of AOT-compiled emit programs, keyed by every static
-# program input (see ClusterGenerator._exec_cache_key). Executables are
-# small; keeping them for the process lifetime makes repeat generators of
-# the same geometry trace-free.
+# program input (see ClusterGenerator._exec_cache_key): repeat generators
+# of the same geometry become trace-free. FIFO-bounded so long-lived
+# processes clustering many distinct sizes (test sessions, services) don't
+# accumulate executables without limit (~5 ladder entries per run).
 _EXEC_CACHE: dict = {}
+_EXEC_CACHE_MAX = 48
+
+
+def _exec_cache_put(key, compiled) -> None:
+    if len(_EXEC_CACHE) >= _EXEC_CACHE_MAX:
+        _EXEC_CACHE.pop(next(iter(_EXEC_CACHE)))
+    _EXEC_CACHE[key] = compiled
 
 
 # ------------------------------------------------------------- host wrapper
@@ -1540,7 +1576,7 @@ class ClusterGenerator:
             state,
         ).compile()
         if key is not None:
-            _EXEC_CACHE[key] = compiled
+            _exec_cache_put(key, compiled)
         return compiled
 
     def _compaction_target_ready(self) -> Optional[int]:
