@@ -360,6 +360,15 @@ def candidate_density_sweep(matrixT, cand, wts, cand_rows=None, interpret=False)
     return dens[:c, 0]
 
 
+# Note (round 3, measured): a scalar-prefetch pallas gather for the subset
+# wander's per-attempt block gather (ids driving the input BlockSpec's
+# index_map) was prototyped and benchmarked at 0.42-0.46 ms per Q=64k
+# gather — identical to XLA's jnp.take (0.41 ms). 512 scattered 16 KB tile
+# reads are DMA-latency bound (~0.8 us each), not lowering-bound, so the
+# kernel was dropped; the honest fix would be fewer/larger blocks, which
+# trades against the ball-overflow threshold.
+
+
 def pallas_pad_multiple() -> int:
     """Smallest column padding the kernels themselves accept (tests pad to
     this). The ENGINE pads further — to 32768 multiples (cluster.py) — so
