@@ -299,13 +299,19 @@ class SequentialOracle:
     ):
         # pad_multiple must match the engine's column tile (128 * mesh size)
         # because the Gumbel draws span the padded width
+        from vamb_tpu.cluster import engine_order
+
         matrix = normalize(matrix.copy())
         n, f = matrix.shape
         n_pad = _pad_to(n, pad_multiple)
         f_pad = _pad_to(f, _SUBLANES)
-        order = np.argsort(lengths.astype(np.float32), kind="stable")[::-1].copy()
+        # geometry-local column order + sparse seed ranks, identical to the
+        # engine's (shared construction)
+        order, ranks = engine_order(matrix, lengths, rng_seed)
         padded_t = np.zeros((f_pad, n_pad), np.float32)
         padded_t[:f, :n] = matrix.T[:, order]
+        self.ranks = np.arange(n_pad, dtype=np.int64) + (1 << 29)
+        self.ranks[:n] = ranks
 
         self.n = n
         self.n_pad = n_pad
@@ -340,27 +346,31 @@ class SequentialOracle:
 
     # -- reference control flow, one rule per method ----------------------
 
-    def peek_seed(self, pos: int) -> int:
-        "First surviving row cyclically from `pos` (ref :342-384)."
-        kept_idx = np.flatnonzero(self.kept)
-        ahead = kept_idx[kept_idx >= pos]
-        return int(ahead[0]) if len(ahead) else int(kept_idx[0])
+    def peek_seed(self, pos: int) -> tuple[int, int]:
+        """Surviving column with the smallest seed rank cyclically from
+        rank `pos` (ref :342-384). Returns (column, rank)."""
+        kept_ranks = np.where(self.kept, self.ranks, 1 << 30)
+        ahead = np.where(kept_ranks >= pos, kept_ranks, 1 << 30)
+        r = int(ahead.min())
+        if r >= (1 << 30):
+            r = int(kept_ranks.min())
+        return int(np.argmax(kept_ranks == r)), r
 
     def seed_distances(self) -> tuple[int, np.ndarray]:
         "Resolve the next seed and its distance row via the spec cache."
-        seed = self.peek_seed(self.order_pos)
+        seed, seed_rank = self.peek_seed(self.order_pos)
         if seed not in self.spec_seeds:
             pos = self.order_pos
             seeds = np.empty(_SPEC, np.int64)
             for k in range(_SPEC):
-                seeds[k] = self.peek_seed(pos)
-                pos = seeds[k] + 1
+                seeds[k], r = self.peek_seed(pos)
+                pos = r + 1
             self.spec_seeds = seeds
             self.spec_d = np.asarray(
                 _k_spec_batch(self.mT, jnp.asarray(seeds.astype(np.int32)))
             )
         slot = int(np.argmax(self.spec_seeds == seed))
-        self.order_pos = seed + 1
+        self.order_pos = seed_rank + 1
         return seed, self.spec_d[slot]
 
     def update_successes(self, success: bool) -> None:

@@ -221,6 +221,41 @@ def _pad_to(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def engine_order(
+    matrix: np.ndarray, lengths: np.ndarray, rng_seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Geometry-local engine column order + per-column seed ranks.
+
+    Columns are sorted by the sign pattern of 16 seeded random projections
+    (an RP-tree-style locality code): points of the same latent cluster
+    agree on almost every hyperplane and land contiguously, so the subset
+    wander's seed ball touches a handful of 128-column blocks instead of
+    one block per member (measured at 1M x 32: a 497-member ball spans 6
+    distinct blocks in this order vs 491 in length order — the ball gather
+    drops from ~0.4 ms of scattered DMAs to microseconds). The reference's
+    descending-length SEED order is preserved logically through `ranks`:
+    ranks[i] is column i's position in the stable descending-length
+    ordering, and the on-device seed scan takes a masked argmin over
+    ranks instead of assuming rank == row index.
+
+    Returns (order, ranks): `order` maps engine column -> original row;
+    `ranks` is int32 per engine column. Deterministic for a given
+    (matrix, lengths, rng_seed); `matrix` must already be normalized.
+    """
+    n = len(matrix)
+    by_len = np.argsort(lengths.astype(np.float32), kind="stable")[::-1]
+    rank_of_original = np.empty(n, np.int64)
+    rank_of_original[by_len] = np.arange(n)
+    rng = np.random.default_rng(rng_seed)
+    proj = matrix @ rng.standard_normal((matrix.shape[1], 16)).astype(np.float32)
+    code = np.zeros(n, np.uint32)
+    for k in range(16):
+        code = (code << np.uint32(1)) | (proj[:, k] > 0)
+    order = np.argsort(code, kind="stable")
+    ranks = rank_of_original[order].astype(np.int32)
+    return order, ranks
+
+
 def normalize(matrix: np.ndarray, inplace: bool = False) -> np.ndarray:
     """Prepare latents for cosine distance: dist = 0.5 - x.y in [0, 1].
 
@@ -369,7 +404,7 @@ class _Records(NamedTuple):
 # (tests/test_cluster_quality_ab.py). `wander_scope="full"` restores the
 # exact path.
 _SUBSET_BLOCK = 128  # block-granular gathers: contiguous 128-row DMA chunks
-_SUBSET_Q = 1 << 16  # max gathered elements (= _SUBSET_BLOCK * max blocks)
+_SUBSET_Q = 1 << 13  # max gathered elements (= _SUBSET_BLOCK * max blocks)
 _SUBSET_RADIUS = 0.15
 _SUBSET_ABORT = _SUBSET_RADIUS - 2 * _MEDOID_RADIUS  # drift boundary
 _SUBSET_AUTO_MIN = 1 << 18  # auto mode: subset wander above this padded N
@@ -428,27 +463,32 @@ def _make_emit_batch(
             jnp.where((d <= _MEDOID_RADIUS) & kept, lengths * (_MEDOID_RADIUS - d), 0.0)
         )
 
-    def next_seed(kept, start):
-        """First kept row at or after `start`; wrap to the first kept row
-        overall only when none remains ahead (reference get_next_seed
-        cycling semantics, cluster.py:342-384).
+    _RANK_BIG = jnp.int32(1 << 30)
 
-        Rows are stored in descending-length order (the seed order), so the
-        seed scan is a masked min over the kept mask itself — no O(N)
-        gather through a permutation array.
+    def next_seed(kept, ranks, start):
+        """Kept column with the smallest seed rank >= `start`; wrap to the
+        overall smallest kept rank only when none remains ahead (reference
+        get_next_seed cycling semantics, cluster.py:342-384).
+
+        Columns live in geometry order (see engine_order), so the
+        descending-length seed order is carried by the constant `ranks`
+        array and the scan is a masked argmin over it — still no O(N)
+        gather. Returns (column, rank).
         """
-        n = kept.shape[0]
-        iota = jnp.arange(n)
-        first_ahead = jnp.min(jnp.where(kept & (iota >= start), iota, n))
-        first_any = jnp.min(jnp.where(kept, iota, n))
-        return jnp.where(first_ahead < n, first_ahead, first_any)
+        key_ahead = jnp.where(kept & (ranks >= start), ranks, _RANK_BIG)
+        r_ahead = jnp.min(key_ahead)
+        key_any = jnp.where(kept, ranks, _RANK_BIG)
+        r_any = jnp.min(key_any)
+        rank_sel = jnp.where(r_ahead < _RANK_BIG, r_ahead, r_any)
+        col = jnp.argmax(kept & (ranks == rank_sel)).astype(jnp.int32)
+        return col, rank_sel
 
-    def next_seeds_batch(kept, start):
-        "The next S seeds the cycling scan would produce from `start`."
+    def next_seeds_batch(kept, ranks, start):
+        "The next S seed columns the cycling scan would produce from `start`."
 
         def step(pos, _):
-            s = next_seed(kept, pos)
-            return s + 1, s
+            s, r = next_seed(kept, ranks, pos)
+            return r + 1, s
 
         _, seeds = jax.lax.scan(
             step, start, None, length=_SPEC_SEEDS
@@ -783,8 +823,8 @@ def _make_emit_batch(
     else:
         _delta_dtype = jnp.int32
 
-    @partial(jax.jit, donate_argnums=(2,))
-    def emit_batch(matrixT, lengths, state: _State):
+    @partial(jax.jit, donate_argnums=(3,))
+    def emit_batch(matrixT, ranks, lengths, state: _State):
         N = matrixT.shape[1]
         first_cid = state.next_cid
 
@@ -826,14 +866,14 @@ def _make_emit_batch(
         def attempt(carry):
             "One seed -> wander -> threshold -> (emit | reject) round."
             state, recs = carry
-            seed = next_seed(state.kept, state.order_pos)
+            seed, seed_rank = next_seed(state.kept, ranks, state.order_pos)
 
             # serve the seed's distance row from the speculative cache; a
             # row is valid iff its recorded seed id equals `seed`, so the
             # cache can never alter a decision — on miss, refill with the
             # next S seeds (one matmul, slot 0 = this seed)
             def refill(st):
-                seeds = next_seeds_batch(st.kept, st.order_pos)
+                seeds = next_seeds_batch(st.kept, ranks, st.order_pos)
                 return st._replace(
                     spec_seeds=seeds,
                     spec_d=spec_batch(matrixT, seeds),
@@ -854,7 +894,7 @@ def _make_emit_batch(
             d0 = jnp.sum(
                 jnp.where(onehot[:, None], state.spec_d, 0.0), axis=0
             )
-            state = state._replace(order_pos=seed + 1)
+            state = state._replace(order_pos=seed_rank + 1)
 
             # Loner-seed marker for the burst extension below: the seed has
             # NO other kept point within the medoid radius, so this attempt
@@ -959,7 +999,9 @@ def _make_emit_batch(
                         n_remaining=state.n_remaining - count,
                         next_cid=state.next_cid + count,
                         order_pos=jnp.where(
-                            any_emit, seeds[last_slot] + 1, state.order_pos
+                            any_emit,
+                            ranks[safe_seed[last_slot]] + 1,
+                            state.order_pos,
                         ),
                         key=new_key,
                         # mirror the sequential loner attempt's accounting:
@@ -1151,34 +1193,31 @@ def _make_emit_batch(
 
 
 @jax.jit
-def _compact_arrays(matrixT, lengths, state: _State, idx2old, valid):
+def _compact_arrays(matrixT, ranks, lengths, state: _State, idx2old, valid):
     """Gather the surviving columns into a smaller buffer (device-side).
 
     `idx2old[i]` is the old column of new column i; `valid` masks the new
-    padding tail. Survivors keep their relative (descending-length) order,
-    so the seed scan's semantics carry over; `order_pos` is remapped to the
-    rank of the first surviving row at or after the old position. The
-    speculative seed cache is invalidated (exact-id matching makes that
-    decision-neutral). The reference shrinks its matrix the same way —
-    CPU-mode row packing, vamb/cluster.py:318-335.
+    padding tail. Seed ranks are sparse global values that travel with
+    their columns, so `order_pos` (a rank threshold, not an index) needs
+    no remapping. The speculative seed cache is invalidated (exact-id
+    matching makes that decision-neutral). The reference shrinks its
+    matrix the same way — CPU-mode row packing, vamb/cluster.py:318-335.
     """
     mT2 = jnp.take(matrixT, idx2old, axis=1)
+    new_pad = idx2old.shape[0]
+    ranks2 = jnp.where(
+        valid, ranks[idx2old], jnp.arange(new_pad, dtype=jnp.int32) + (1 << 29)
+    )
     lengths2 = jnp.where(valid, lengths[idx2old], 0.0)
     kept2 = jnp.where(valid, state.kept[idx2old], False)
     labels2 = jnp.where(valid, state.labels[idx2old], -1)
-    iota_old = jnp.arange(matrixT.shape[1])
-    order_pos2 = jnp.sum(
-        state.kept & (iota_old < state.order_pos), dtype=jnp.int32
-    )
-    new_pad = idx2old.shape[0]
     state2 = state._replace(
         kept=kept2,
         labels=labels2,
-        order_pos=order_pos2,
         spec_seeds=jnp.full((_SPEC_SEEDS,), -1, jnp.int32),
         spec_d=jnp.zeros((_SPEC_SEEDS, new_pad), jnp.float32),
     )
-    return mT2, lengths2, state2
+    return mT2, ranks2, lengths2, state2
 
 
 # Process-level cache of AOT-compiled emit programs, keyed by every static
@@ -1328,12 +1367,16 @@ class ClusterGenerator:
             col_tile = max(col_tile, 32768)
         n_pad = _pad_to(n, col_tile)
         f_pad = _pad_to(f, _SUBLANES)
-        # Rows are stored in descending-length (seed) order so the on-device
-        # seed scan needs no gather; outputs are mapped back through
-        # `_order` on the host (reference seeds in this order, :275).
-        order = np.argsort(lengths.astype(np.float32), kind="stable")[::-1].copy()
+        # Columns live in the geometry-local engine order (see
+        # engine_order); the reference's descending-length SEED order is
+        # carried by the constant `ranks` array consumed by the on-device
+        # seed scan (reference seeds in length order, :275). Outputs map
+        # back through `_order` on the host.
+        order, ranks_np = engine_order(matrix, lengths, rng_seed)
         padded_t = np.zeros((f_pad, n_pad), np.float32)
         padded_t[:f, :n] = matrix.T[:, order]
+        ranks_pad = np.arange(n_pad, dtype=np.int32) + np.int32(1 << 29)
+        ranks_pad[:n] = ranks_np
 
         use_subset = wander_scope == "subset" or (
             wander_scope == "auto"
@@ -1365,6 +1408,7 @@ class ClusterGenerator:
         self.minsuccesses = minsuccesses
         self.peak_valley_ratio = 0.1  # mirrors device state, for reporting
         self.matrixT = put_cols(padded_t.astype(ddtype))
+        self.ranks = put_rows(ranks_pad)
         self.lengths = put_rows(
             np.pad(lengths.astype(np.float32)[order], (0, n_pad - n))
         )
@@ -1572,6 +1616,7 @@ class ClusterGenerator:
         )
         compiled = self._emit_fn_for(n_pad).lower(
             sds((self._f_pad, n_pad), self._ddtype),
+            sds((n_pad,), jnp.int32),
             sds((n_pad,), jnp.float32),
             state,
         ).compile()
@@ -1605,8 +1650,9 @@ class ClusterGenerator:
         idx2old[:n2] = survivor_rows
         valid = np.zeros(target, bool)
         valid[:n2] = True
-        self.matrixT, self.lengths, self._state = _compact_arrays(
+        self.matrixT, self.ranks, self.lengths, self._state = _compact_arrays(
             self.matrixT,
+            self.ranks,
             self.lengths,
             self._state,
             put_rows(idx2old),
@@ -1614,6 +1660,7 @@ class ClusterGenerator:
         )
         if self._mesh is not None:
             self.matrixT = put_cols(self.matrixT)
+            self.ranks = put_rows(self.ranks)
             self.lengths = put_rows(self.lengths)
             self._state = self._state._replace(
                 kept=put_rows(self._state.kept),
@@ -1633,7 +1680,7 @@ class ClusterGenerator:
             self._n_live_pad
         )
         self._state, ints, flts, delta = fn(
-            self.matrixT, self.lengths, self._state
+            self.matrixT, self.ranks, self.lengths, self._state
         )
         for arr in (ints, flts, delta):
             try:
