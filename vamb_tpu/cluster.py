@@ -631,9 +631,17 @@ def _make_emit_batch(
         idx = (bids[:, None] * B + jnp.arange(B)[None, :]).reshape(-1)  # (Q,)
         valid = jnp.repeat(valid_b, B)
         F = matrixT.shape[0]
-        xsT = jnp.take(
-            matrixT.reshape(F, NB, B), bids, axis=1
-        ).reshape(F, Q)
+        if use_pallas:
+            # the XLA take would relayout-copy the whole (F, N) matrix for
+            # its reshape (0.4 ms/attempt at 1M); the kernel is KB block
+            # DMAs driven by scalar-prefetched ids, bit-identical values
+            from vamb_tpu.ops.pallas_cluster import gather_blocks
+
+            xsT = gather_blocks(matrixT, bids, block=B)
+        else:
+            xsT = jnp.take(
+                matrixT.reshape(F, NB, B), bids, axis=1
+            ).reshape(F, Q)
         w_sub = jnp.where(
             valid, jnp.take(lengths.reshape(NB, B), bids, axis=0).reshape(-1), 0.0
         )

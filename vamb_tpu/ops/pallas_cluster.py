@@ -360,13 +360,44 @@ def candidate_density_sweep(matrixT, cand, wts, cand_rows=None, interpret=False)
     return dens[:c, 0]
 
 
-# Note (round 3, measured): a scalar-prefetch pallas gather for the subset
-# wander's per-attempt block gather (ids driving the input BlockSpec's
-# index_map) was prototyped and benchmarked at 0.42-0.46 ms per Q=64k
-# gather — identical to XLA's jnp.take (0.41 ms). 512 scattered 16 KB tile
-# reads are DMA-latency bound (~0.8 us each), not lowering-bound, so the
-# kernel was dropped; the honest fix would be fewer/larger blocks, which
-# trades against the ball-overflow threshold.
+def _block_gather_kernel(_bids_ref, m_ref, out_ref):
+    out_ref[:] = m_ref[:]
+
+
+@partial(jax.jit, static_argnames=("block", "interpret"))
+def gather_blocks(matrixT, bids, block=_LANES, interpret=False):
+    """Gather KB column-blocks of width `block` from (F, N) into (F, KB*block).
+
+    The subset wander's per-attempt ball gather. The XLA equivalent
+    (`jnp.take(matrixT.reshape(F, NB, B), bids, axis=1)`) materializes a
+    layout-changed copy of the ENTIRE (F, N) matrix for the reshape —
+    0.4 ms of pure relayout per attempt at 1M x 32 (seen in HLO as a
+    f32[32,8192,128]{2,0,1} kLoop fusion). Here the block ids drive the
+    input BlockSpec's index_map via scalar prefetch, so each grid step is
+    one contiguous (F, 128) tile DMA and nothing else moves. With the
+    geometry-local column order the ball spans ~KB=64 blocks, so this is
+    ~64 small DMAs (~tens of us). Pure data movement: the gathered values
+    are bit-identical to the XLA path, so the CPU oracle can keep the
+    jnp.take formulation with no parity implications.
+    """
+    f_pad, n_pad = matrixT.shape
+    kb = bids.shape[0]
+    return pl.pallas_call(
+        _block_gather_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(kb,),
+            in_specs=[
+                pl.BlockSpec((f_pad, block), lambda i, bids: (0, bids[i])),
+            ],
+            out_specs=pl.BlockSpec((f_pad, block), lambda i, bids: (0, i)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((f_pad, kb * block), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )(bids, matrixT)
 
 
 def pallas_pad_multiple() -> int:
