@@ -310,7 +310,9 @@ class SequentialOracle:
         order, ranks = engine_order(matrix, lengths, rng_seed)
         padded_t = np.zeros((f_pad, n_pad), np.float32)
         padded_t[:f, :n] = matrix.T[:, order]
-        self.ranks = np.arange(n_pad, dtype=np.int64) + (1 << 29)
+        from vamb_tpu.cluster import RANK_PAD_BASE
+
+        self.ranks = np.arange(n_pad, dtype=np.int64) + RANK_PAD_BASE
         self.ranks[:n] = ranks
 
         self.n = n
@@ -349,10 +351,12 @@ class SequentialOracle:
     def peek_seed(self, pos: int) -> tuple[int, int]:
         """Surviving column with the smallest seed rank cyclically from
         rank `pos` (ref :342-384). Returns (column, rank)."""
-        kept_ranks = np.where(self.kept, self.ranks, 1 << 30)
-        ahead = np.where(kept_ranks >= pos, kept_ranks, 1 << 30)
+        from vamb_tpu.cluster import RANK_NONE
+
+        kept_ranks = np.where(self.kept, self.ranks, RANK_NONE)
+        ahead = np.where(kept_ranks >= pos, kept_ranks, RANK_NONE)
         r = int(ahead.min())
-        if r >= (1 << 30):
+        if r >= RANK_NONE:
             r = int(kept_ranks.min())
         return int(np.argmax(kept_ranks == r)), r
 

@@ -127,3 +127,40 @@ class TestCandidateDensitySweep:
             axis=1,
         )
         np.testing.assert_allclose(dens, expect, rtol=1e-5)
+
+
+class TestGatherBlocks:
+    """The subset wander's ball gather must be bit-identical to the XLA
+    take it replaces (pure data movement — the engine uses the kernel on
+    TPU while the CPU oracle keeps the take formulation)."""
+
+    @pytest.mark.parametrize("kb", [4, 64])
+    def test_matches_xla_take(self, kb):
+        from vamb_tpu.ops.pallas_cluster import gather_blocks
+
+        rng = np.random.default_rng(3)
+        f_pad, nb, block = 32, 256, 128
+        n = nb * block
+        mT = jnp.asarray(rng.normal(size=(f_pad, n)).astype(np.float32))
+        bids = jnp.asarray(
+            np.sort(rng.choice(nb, kb, replace=False)).astype(np.int32)
+        )
+        got = gather_blocks(mT, bids, block=block, interpret=True)
+        want = jnp.take(mT.reshape(f_pad, nb, block), bids, axis=1).reshape(
+            f_pad, kb * block
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_repeated_block_ids(self):
+        "Overflow clamping repeats block 0; the copy must still be exact."
+        from vamb_tpu.ops.pallas_cluster import gather_blocks
+
+        rng = np.random.default_rng(4)
+        f_pad, nb, block = 32, 64, 128
+        mT = jnp.asarray(rng.normal(size=(f_pad, nb * block)).astype(np.float32))
+        bids = jnp.asarray(np.array([5, 0, 0, 63], np.int32))
+        got = gather_blocks(mT, bids, block=block, interpret=True)
+        want = jnp.take(mT.reshape(f_pad, nb, block), bids, axis=1).reshape(
+            f_pad, -1
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

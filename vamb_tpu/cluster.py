@@ -405,6 +405,12 @@ class _Records(NamedTuple):
 # exact path.
 _SUBSET_BLOCK = 128  # block-granular gathers: contiguous 128-row DMA chunks
 _SUBSET_Q = 1 << 13  # max gathered elements (= _SUBSET_BLOCK * max blocks)
+# Seed-rank sentinels, shared with the oracle (decision parity depends on
+# both sides using identical values and on RANK_PAD_BASE < RANK_NONE):
+# padding columns get distinct ranks >= RANK_PAD_BASE (they are never
+# kept, so they never win a scan); RANK_NONE is the masked-scan identity.
+RANK_PAD_BASE = 1 << 29
+RANK_NONE = 1 << 30
 _SUBSET_RADIUS = 0.15
 _SUBSET_ABORT = _SUBSET_RADIUS - 2 * _MEDOID_RADIUS  # drift boundary
 _SUBSET_AUTO_MIN = 1 << 18  # auto mode: subset wander above this padded N
@@ -423,9 +429,12 @@ def _make_emit_batch(
 ):
     """Build the fused device program emitting up to `batch_clusters` clusters.
 
-    Signature: emit_batch(matrixT (F,N), lengths (N,), state) ->
+    Signature: emit_batch(matrixT (F,N), ranks (N,) i32, lengths (N,),
+    state[donated]) ->
     (state, ints (5K+1,) i32, flts (3K+3,) f32, delta (N,) uint). `matrixT`
-    is the transposed, normalized, padded latent matrix. `ints` packs
+    is the transposed, normalized, padded latent matrix in geometry-local
+    column order; `ranks` carries each column's descending-length seed
+    rank (see engine_order). `ints` packs
     [medoid, seed, kind, successes, attempts_len, n_emitted]; `flts` packs
     [radius, observed_pvr, pvr, n_dists, n_dists_eff, post-batch pvr];
     `delta` holds batch-local cluster ids + 1 (0 = not assigned this
@@ -463,7 +472,7 @@ def _make_emit_batch(
             jnp.where((d <= _MEDOID_RADIUS) & kept, lengths * (_MEDOID_RADIUS - d), 0.0)
         )
 
-    _RANK_BIG = jnp.int32(1 << 30)
+    _RANK_BIG = jnp.int32(RANK_NONE)
 
     def next_seed(kept, ranks, start):
         """Kept column with the smallest seed rank >= `start`; wrap to the
@@ -1214,7 +1223,9 @@ def _compact_arrays(matrixT, ranks, lengths, state: _State, idx2old, valid):
     mT2 = jnp.take(matrixT, idx2old, axis=1)
     new_pad = idx2old.shape[0]
     ranks2 = jnp.where(
-        valid, ranks[idx2old], jnp.arange(new_pad, dtype=jnp.int32) + (1 << 29)
+        valid,
+        ranks[idx2old],
+        jnp.arange(new_pad, dtype=jnp.int32) + RANK_PAD_BASE,
     )
     lengths2 = jnp.where(valid, lengths[idx2old], 0.0)
     kept2 = jnp.where(valid, state.kept[idx2old], False)
@@ -1383,7 +1394,7 @@ class ClusterGenerator:
         order, ranks_np = engine_order(matrix, lengths, rng_seed)
         padded_t = np.zeros((f_pad, n_pad), np.float32)
         padded_t[:f, :n] = matrix.T[:, order]
-        ranks_pad = np.arange(n_pad, dtype=np.int32) + np.int32(1 << 29)
+        ranks_pad = np.arange(n_pad, dtype=np.int32) + np.int32(RANK_PAD_BASE)
         ranks_pad[:n] = ranks_np
 
         use_subset = wander_scope == "subset" or (
