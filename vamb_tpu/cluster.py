@@ -359,6 +359,13 @@ class _State(NamedTuple):
     n_dists_eff: jax.Array
     spec_seeds: jax.Array  # (_SPEC_SEEDS,) i32, -1 = empty slot
     spec_d: jax.Array  # (_SPEC_SEEDS, N) f32 cached distance rows
+    # first cache slot the seed scan may consume next. Cached slots are
+    # exactly the true scan sequence from the fill position, so consuming
+    # the first ALIVE slot >= spec_next IS the scan (removals only delete
+    # points; a pvr bump resets order_pos and forces a refill by setting
+    # this to _SPEC_SEEDS) — replacing three O(N) rank reductions per
+    # attempt with an 8-element slot test.
+    spec_next: jax.Array  # i32
 
 
 class _Records(NamedTuple):
@@ -883,35 +890,51 @@ def _make_emit_batch(
         def attempt(carry):
             "One seed -> wander -> threshold -> (emit | reject) round."
             state, recs = carry
-            seed, seed_rank = next_seed(state.kept, ranks, state.order_pos)
 
-            # serve the seed's distance row from the speculative cache; a
-            # row is valid iff its recorded seed id equals `seed`, so the
-            # cache can never alter a decision — on miss, refill with the
-            # next S seeds (one matmul, slot 0 = this seed)
+            # Slot-based seed scan: cached slots are the true scan sequence
+            # from the fill position (next_seeds_batch computed them with
+            # the scan itself), points are only ever removed, and order_pos
+            # moves only by slot consumption (a pvr bump resets it AND
+            # forces a refill via spec_next), so the first ALIVE slot at or
+            # after spec_next is exactly the seed the O(N) rank scan would
+            # find — three full-length reductions per attempt replaced by
+            # an 8-element test. On exhaustion, refill from order_pos with
+            # the true scan (slot 0 = this attempt's seed).
+            def alive_slots(st):
+                seeds_c = st.spec_seeds
+                safe = jnp.where(seeds_c >= 0, seeds_c, 0)
+                return (
+                    (jnp.arange(_SPEC_SEEDS) >= st.spec_next)
+                    & (seeds_c >= 0)
+                    & st.kept[safe]
+                )
+
             def refill(st):
                 seeds = next_seeds_batch(st.kept, ranks, st.order_pos)
                 return st._replace(
                     spec_seeds=seeds,
                     spec_d=spec_batch(matrixT, seeds),
+                    spec_next=jnp.int32(0),
                     n_dists=st.n_dists + jnp.float32(_SPEC_SEEDS) * N,
                 )
 
-            hit = jnp.any(state.spec_seeds == seed)
-            state = jax.lax.cond(hit, lambda st: st, refill, state)
+            state = jax.lax.cond(
+                jnp.any(alive_slots(state)), lambda st: st, refill, state
+            )
+            slot = jnp.argmax(alive_slots(state)).astype(jnp.int32)
+            seed = state.spec_seeds[slot]
+            seed_rank = ranks[seed]
             # read the slot's row as a one-hot masked sum: a dynamic slice
             # along the sublane axis of the (S, N) cache costs a full
             # shuffle pass (~1 ms at 1M); the masked sum streams the cache
             # once and adds only zeros to the selected row (bit-exact).
-            # argmax-first matters: with few points left the seed scan
-            # wraps and duplicates seeds across slots (identical rows, but
-            # summing two of them would double the values).
-            slot = jnp.argmax(state.spec_seeds == seed)
             onehot = jnp.arange(_SPEC_SEEDS) == slot
             d0 = jnp.sum(
                 jnp.where(onehot[:, None], state.spec_d, 0.0), axis=0
             )
-            state = state._replace(order_pos=seed_rank + 1)
+            state = state._replace(
+                order_pos=seed_rank + 1, spec_next=slot + 1
+            )
 
             # Loner-seed marker for the burst extension below: the seed has
             # NO other kept point within the medoid radius, so this attempt
@@ -1134,6 +1157,9 @@ def _make_emit_batch(
                 # fields, so only those are merged (never the big arrays).
                 do_update = is_reject | (is_normal & (state.pvr < 0.55))
                 upd_state = update_successes(state, is_normal & (state.pvr < 0.55))
+                # a bump (attempts_len cleared to 0) resets order_pos to 0,
+                # breaking the slot-scan invariant — force a refill
+                bumped = do_update & (upd_state.attempts_len == 0)
                 state = state._replace(
                     attempts=jnp.where(do_update, upd_state.attempts, state.attempts),
                     attempts_len=jnp.where(do_update, upd_state.attempts_len, state.attempts_len),
@@ -1141,6 +1167,9 @@ def _make_emit_batch(
                     successes=jnp.where(do_update, upd_state.successes, state.successes),
                     pvr=jnp.where(do_update, upd_state.pvr, state.pvr),
                     order_pos=jnp.where(do_update, upd_state.order_pos, state.order_pos),
+                    spec_next=jnp.where(
+                        bumped, jnp.int32(_SPEC_SEEDS), state.spec_next
+                    ),
                 )
                 return state, recs
 
@@ -1235,6 +1264,7 @@ def _compact_arrays(matrixT, ranks, lengths, state: _State, idx2old, valid):
         labels=labels2,
         spec_seeds=jnp.full((_SPEC_SEEDS,), -1, jnp.int32),
         spec_d=jnp.zeros((_SPEC_SEEDS, new_pad), jnp.float32),
+        spec_next=jnp.int32(0),
     )
     return mT2, ranks2, lengths2, state2
 
@@ -1452,6 +1482,7 @@ class ClusterGenerator:
             n_dists_eff=jnp.float32(0),
             spec_seeds=put_repl(np.full(_SPEC_SEEDS, -1, np.int32)),
             spec_d=put_cols(np.zeros((_SPEC_SEEDS, n_pad), np.float32)),
+            spec_next=jnp.int32(0),
         )
         replicate_outputs = None
         if mesh is not None and len(
@@ -1632,6 +1663,7 @@ class ClusterGenerator:
             n_dists_eff=sds((), jnp.float32),
             spec_seeds=sds((_SPEC_SEEDS,), jnp.int32),
             spec_d=sds((_SPEC_SEEDS, n_pad), jnp.float32),
+            spec_next=sds((), jnp.int32),
         )
         compiled = self._emit_fn_for(n_pad).lower(
             sds((self._f_pad, n_pad), self._ddtype),
