@@ -274,3 +274,59 @@ class TestBf16DistancePath:
         same_b = lb[idx[:, 0]] == lb[idx[:, 1]]
         agreement = float(np.mean(same_a == same_b))
         assert agreement > 0.95, agreement
+
+
+class TestEngineOrder:
+    "Geometry-local column order + seed ranks (cluster.engine_order)."
+
+    def _data(self, n=1000, seed=0):
+        from vamb_tpu.cluster import normalize
+
+        rng = np.random.default_rng(seed)
+        m = normalize(rng.standard_normal((n, 16)).astype(np.float32))
+        lengths = rng.integers(2000, 50_000, n).astype(np.float32)
+        return m, lengths
+
+    def test_order_is_permutation_and_deterministic(self):
+        from vamb_tpu.cluster import engine_order
+
+        m, lengths = self._data()
+        order1, ranks1 = engine_order(m, lengths, rng_seed=3)
+        order2, ranks2 = engine_order(m, lengths, rng_seed=3)
+        np.testing.assert_array_equal(order1, order2)
+        np.testing.assert_array_equal(ranks1, ranks2)
+        np.testing.assert_array_equal(np.sort(order1), np.arange(len(m)))
+        np.testing.assert_array_equal(np.sort(ranks1), np.arange(len(m)))
+
+    def test_ranks_encode_descending_length_order(self):
+        "rank r's column must hold the r-th longest contig (stable ties)."
+        from vamb_tpu.cluster import engine_order
+
+        m, lengths = self._data(seed=1)
+        order, ranks = engine_order(m, lengths, rng_seed=5)
+        by_len = np.argsort(lengths, kind="stable")[::-1]
+        col_of_rank = np.empty(len(m), np.int64)
+        col_of_rank[ranks] = np.arange(len(m))
+        # original index of the rank-r column == r-th entry of the stable
+        # descending-length sort
+        np.testing.assert_array_equal(order[col_of_rank], by_len)
+
+    def test_clustered_points_land_in_few_blocks(self):
+        "The point of the order: a tight cluster spans few 128-blocks."
+        from vamb_tpu.cluster import engine_order, normalize
+
+        rng = np.random.default_rng(7)
+        n, per = 40_960, 512
+        centers = rng.standard_normal((n // per, 16)).astype(np.float32) * 4
+        m = np.repeat(centers, per, axis=0) + 0.01 * rng.standard_normal(
+            (n, 16)
+        ).astype(np.float32)
+        m = normalize(m)
+        lengths = rng.integers(2000, 50_000, n).astype(np.float32)
+        order, _ = engine_order(m, lengths, rng_seed=0)
+        pos_of_original = np.empty(n, np.int64)
+        pos_of_original[order] = np.arange(n)
+        cluster0 = pos_of_original[:per]  # engine columns of cluster 0
+        n_blocks = len(np.unique(cluster0 // 128))
+        # random order would put ~512 members in ~500 distinct blocks
+        assert n_blocks <= 32, n_blocks
