@@ -242,7 +242,13 @@ def bench_clustering() -> tuple[float, dict]:
     if "--no-full-run" not in sys.argv:
         # complete 1M-point run (all ~2000 clusters): exercises pipelined
         # dispatch, loner bursts and device-side matrix compaction end to
-        # end — the regime the per-window dists/s metric can't see
+        # end — the regime the per-window dists/s metric can't see.
+        # Drain the window generator's speculative in-flight batch first:
+        # it would otherwise keep the device busy into the timed run.
+        if gen._inflight is not None:
+            for arr in gen._inflight:
+                np.asarray(arr)
+            gen._inflight = None
         gen_f = vc.ClusterGenerator(matrix, lengths, normalized=True)
         # steady-state measurement: compile the compaction ladder's
         # programs up front — the background compiles otherwise steal the
