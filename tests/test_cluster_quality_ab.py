@@ -17,10 +17,18 @@ reference's own pack-vs-mask mode split (cluster.py:174-177,313-335),
 which likewise changes emission order but not quality.
 """
 
+import sys
+from pathlib import Path
+
 import numpy as np
 import pytest
 
 from vamb_tpu.cluster import ClusterGenerator, normalize
+
+# share the blob/noise dataset generator with the driver bench so the CPU
+# test and the TPU-side A/B measure the same regime
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from bench import _blob_latents  # noqa: E402
 
 N, D, N_BLOBS = 6144, 16, 40
 NOISE_FRAC = 0.2
@@ -28,15 +36,7 @@ NOISE_FRAC = 0.2
 
 @pytest.fixture(scope="module")
 def dataset():
-    rng = np.random.default_rng(17)
-    centers = rng.standard_normal((N_BLOBS, D)).astype(np.float32) * 4
-    truth = rng.integers(0, N_BLOBS, N)
-    matrix = centers[truth] + 0.05 * rng.standard_normal((N, D)).astype(np.float32)
-    n_noise = int(N * NOISE_FRAC)
-    noise_at = rng.choice(N, n_noise, replace=False)
-    matrix[noise_at] = rng.standard_normal((n_noise, D)).astype(np.float32)
-    truth[noise_at] = -1
-    lengths = rng.integers(2000, 50_000, N)
+    matrix, lengths, truth = _blob_latents(N, D, N_BLOBS, NOISE_FRAC, seed=17)
     return normalize(matrix, inplace=True), lengths, truth
 
 

@@ -145,3 +145,45 @@ def test_two_process_cli_end_to_end(tmp_path):
     single = (out_single / "vae_clusters_unsplit.tsv").read_text()
     multi = (out_multi / "vae_clusters_unsplit.tsv").read_text()
     assert single == multi
+
+
+def test_cli_rejects_partial_multiprocess_flags(tmp_path):
+    """--procid/--coordinator without --nprocs must fail fast: a forgotten
+    --nprocs would otherwise run N independent single-process pipelines
+    clobbering each other's outputs in the shared --outdir."""
+    from vamb_tpu.__main__ import _maybe_init_distributed
+
+    class Args:
+        dist = False
+        nprocs = None
+        procid = 2
+        coordinator = None
+
+    with pytest.raises(SystemExit):
+        _maybe_init_distributed(Args())
+
+    class Args2:
+        dist = False
+        nprocs = None
+        procid = None
+        coordinator = "h0:9876"
+
+    with pytest.raises(SystemExit):
+        _maybe_init_distributed(Args2())
+
+    class Args3:
+        dist = False
+        nprocs = 4
+        procid = None
+        coordinator = "h0:9876"
+
+    with pytest.raises(SystemExit):
+        _maybe_init_distributed(Args3())
+
+    class ArgsOk:  # single process, nothing requested: no-op
+        dist = False
+        nprocs = None
+        procid = None
+        coordinator = None
+
+    _maybe_init_distributed(ArgsOk())
