@@ -542,7 +542,16 @@ class SequentialOracle:
                 d_init = d0
             medoid = self._full_climb(medoid, d_init, density, tried, key)
 
-        d = np.asarray(_k_full_row(self.mT, medoid))
+        # final row via the engine's SHARED batched kernel (spec_batch with
+        # the medoid broadcast over the 8 rows): a batched dot rounds
+        # differently from the single matvec in the last ulp, and the
+        # engine reads classic attempts' and speculative lanes' final rows
+        # from this one expression — row values are composition-independent
+        # (pinned by test_cluster.py::test_batched_row_composition_
+        # independent), so broadcasting reproduces any lane's row exactly.
+        d = np.asarray(
+            _k_spec_batch(self.mT, jnp.full((_SPEC,), medoid, jnp.int32))
+        )[0]
         return medoid, d
 
     def __iter__(self):

@@ -330,3 +330,47 @@ class TestEngineOrder:
         n_blocks = len(np.unique(cluster0 // 128))
         # random order would put ~512 members in ~500 distinct blocks
         assert n_blocks <= 32, n_blocks
+
+
+class TestBatchedRowContract:
+    """The subset path's final-row contract: every attempt's full distance
+    row — classic or speculative lane — is a row of ONE batched
+    (S,F)x(F,N) expression (cluster.py spec_batch), and a row's values
+    depend only on its own id, never on which other ids share the batch.
+    The parity oracle reproduces any lane's row by broadcasting a single
+    medoid over the batch, which is only sound under this independence —
+    if an XLA change ever makes batched-dot rows composition-dependent,
+    this must fail loudly here rather than as a parity flake."""
+
+    def test_batched_row_composition_independent(self):
+        import jax
+        import jax.numpy as jnp
+
+        prec = jax.lax.Precision.HIGHEST
+
+        @jax.jit
+        def rows_batch(mT, ids):
+            rows = mT[:, ids]
+            D = 0.5 - jnp.einsum(
+                "fc,fn->cn", rows, mT, precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+            iota = jnp.arange(mT.shape[1])
+            return jnp.where(iota[None, :] == ids[:, None], 0.0, D)
+
+        rng = np.random.default_rng(5)
+        n, f = 1024, 32
+        matrix = normalize(rng.standard_normal((n, f)).astype(np.float32))
+        mT = jnp.asarray(matrix.T)
+        for trial in range(8):
+            ids = rng.integers(0, n, 8).astype(np.int32)
+            batch = np.asarray(rows_batch(mT, jnp.asarray(ids)))
+            for j in range(8):
+                solo = np.asarray(
+                    rows_batch(mT, jnp.full(8, ids[j], jnp.int32))
+                )[0]
+                np.testing.assert_array_equal(
+                    batch[j], solo,
+                    err_msg=f"trial {trial} lane {j}: batched row depends "
+                    "on batch composition",
+                )

@@ -465,7 +465,17 @@ def _make_emit_batch(
     )
 
     def spec_batch(matrixT, seeds):
-        "Distance rows for S seeds in one matmul, self-distances zeroed."
+        """Distance rows for S seeds in one matmul, self-distances zeroed.
+
+        Also the subset path's FINAL-ROW kernel (broadcast one medoid over
+        the S rows and take row 0): a batched (S,F)x(F,N) dot rounds
+        differently from the single "fn,f->n" matvec in the last ulp, but
+        each output row depends only on its own id (composition-
+        independent — pinned by tests/test_cluster.py::
+        test_batched_row_composition_independent), so the classic
+        single-attempt path, the speculative attempt lanes, and the parity
+        oracle all read bit-identical rows from this one expression.
+        """
         rows = matrixT[:, seeds]  # (F, S)
         D = 0.5 - jnp.einsum(
             "fc,fn->cn", rows, matrixT, precision=_prec,
@@ -511,125 +521,31 @@ def _make_emit_batch(
         )
         return seeds.astype(jnp.int32)
 
-    def wander(matrixT, lengths, kept, seed, d0, key, n_dists, n_dists_eff):
-        """Hill-climb from `seed` given its distance row `d0`; returns
-        (medoid, d, n_dists', n_dists_eff').
+    def subset_phase1(
+        matrixT, lengths, kept, seed, d0, no_cand, key, n_dists, n_dists_eff
+    ):
+        """Seed-ball gather + in-subset hill climb (phase 1 of the subset
+        wander), shared between the classic single-attempt path and the
+        speculative attempt lanes.
 
-        With `use_subset`, the climb first runs inside the seed's gathered
-        _SUBSET_RADIUS ball (phase 1, (C,F)x(F,Q) matmuls); it continues in
-        the classic full-sweep loop (phase 2) only if the ball overflowed Q
-        or the medoid drifted to the ball's safety boundary. Without it,
-        each step evaluates all sampled candidates in one (C,F)x(F,N)
-        matmul and the jump target's distance row becomes the next medoid's
-        distances for free.
+        Block-granular gather: flag the _SUBSET_BLOCK-wide blocks that
+        contain any ball member, pick their ids with a top_k over N/128
+        block flags (trivial), and gather WHOLE blocks — every DMA is a
+        contiguous 128-row chunk. Elementwise index compaction
+        (nonzero / full-length top_k / cumsum+searchsorted) all cost
+        ~1 ms per attempt at 1M on this chip; the block scheme is ~50 us.
+        Non-members ride along as padding, masked out of every reduction
+        by kept_sub/ball membership tests — exactness is untouched.
+
+        Returns (medoid, need_full, ok, idx, valid, tried_s, s_density,
+        key, n_dists, n_dists_eff, blocks): `medoid` is a full-space
+        column; `need_full` means the climb must continue in the classic
+        full-sweep loop (ball overflow or drift past _SUBSET_ABORT);
+        `blocks` is the (N/_SUBSET_BLOCK,) gathered-block mask the lane
+        conflict regions are built from (dead code for the classic path —
+        XLA drops it).
         """
         N = matrixT.shape[1]
-        iota = jnp.arange(N)
-        tried0 = jnp.zeros(N, bool).at[seed].set(True)
-        if use_pallas:
-            wk = jnp.where(kept, lengths, 0.0)  # kept is frozen per attempt
-
-        def cond(carry):
-            return ~carry[0]
-
-        def body(carry):
-            _done, medoid, d, density, tried, key, n_dists, n_dists_eff = carry
-            key, k1 = jax.random.split(key)
-            elig = (d <= _MEDOID_RADIUS) & kept & ~tried & (iota != medoid)
-            gumbel = -jnp.log(
-                -jnp.log(jax.random.uniform(k1, (N,)) + 1e-20) + 1e-20
-            )
-            score = jnp.where(elig, gumbel, -jnp.inf)
-            if _USE_APPROX_TOPK:
-                _, cand = jax.lax.approx_max_k(score, C)
-            else:
-                _, cand = jax.lax.top_k(score, C)
-            cand_valid = elig[cand]
-
-            if use_pallas:
-                # One matrix pass, no (C, N) distance matrix in HBM; the
-                # kernel's column-id == candidate-id zeroing reproduces the
-                # XLA path's explicit self term (w * (r - 0)).
-                dens = candidate_density_sweep(matrixT, cand, wk)
-            else:
-                rows = matrixT[:, cand]  # (F, C)
-                D = 0.5 - jnp.einsum(
-                    "fc,fn->cn", rows, matrixT, precision=_prec,
-                    preferred_element_type=jnp.float32,
-                )
-                # Self-distance handling without materializing a zeroed copy
-                # of the (C, N) matrix: the self column's term is written
-                # directly (lengths * (r - 0) ≡ lengths * r, bit-identical),
-                # all other columns use the raw distances.
-                self_m = iota[None, :] == cand[:, None]
-                kept_b = kept[None, :]
-                dens = jnp.sum(
-                    jnp.where(
-                        self_m & kept_b,
-                        lengths[None, :] * _MEDOID_RADIUS,
-                        jnp.where(
-                            (D <= _MEDOID_RADIUS) & kept_b & ~self_m,
-                            lengths[None, :] * (_MEDOID_RADIUS - D),
-                            0.0,
-                        ),
-                    ),
-                    axis=1,
-                )
-            better = cand_valid & (dens > density)
-            any_better = jnp.any(better)
-            j = jnp.argmax(better)
-            # mark tried: cand[0..j] on jump, all valid candidates otherwise
-            upto = jnp.where(any_better, j + 1, jnp.sum(cand_valid))
-            mark_idx = jnp.where(jnp.arange(C) < upto, cand, N)
-            tried = tried.at[mark_idx].set(True, mode="drop")
-
-            medoid = jnp.where(any_better, cand[j], medoid)
-            if use_pallas:
-                # Recompute the (possibly unchanged) medoid's distance row
-                # unconditionally — the kernel never materialized the (C, N)
-                # matrix to slice, and a lax.cond here costs more in branch
-                # result copies than the one extra final-step sweep
-                # (measured 0.06 ms/step of cond overhead vs a 0.02-0.19 ms
-                # sweep). Recomputing the same medoid's row moves the final
-                # d by dot-order ulps vs the carried row — the TPU path's
-                # accepted divergence class.
-                d = row_sweep(matrixT, medoid)
-            else:
-                # D rows are raw; the jump target's self-distance is forced
-                # to exactly 0 here (the zeroed-copy variant did it
-                # matrix-wide)
-                d_jump = jnp.where(iota == cand[j], 0.0, D[j])
-                d = jnp.where(any_better, d_jump, d)
-            density = jnp.where(any_better, dens[j], density)
-            done = ~any_better
-            # pallas steps recompute the medoid's row (one extra sweep)
-            row_extra = jnp.float32(N) if use_pallas else 0.0
-            # `upto` is exactly the number of candidates the reference's
-            # one-at-a-time sampler would have evaluated this step
-            return (
-                done, medoid, d, density, tried, key,
-                n_dists + C * N + row_extra,
-                n_dists_eff + upto.astype(jnp.float32) * N,
-            )
-
-        no_cand = jnp.sum(kept & (d0 <= _MEDOID_RADIUS) & ~tried0) == 0
-        n_dists_eff = n_dists_eff + N  # the reference computes one matvec per seed
-
-        if not use_subset:
-            init = (no_cand, seed, d0, density_of(d0, lengths, kept),
-                    tried0, key, n_dists, n_dists_eff)
-            out = jax.lax.while_loop(cond, body, init)
-            return out[1], out[2], out[6], out[7]
-
-        # ---------------------------- phase 1: subset hill climb ----------
-        # Block-granular gather: flag the _SUBSET_BLOCK-wide blocks that
-        # contain any ball member, pick their ids with a top_k over N/128
-        # block flags (trivial), and gather WHOLE blocks — every DMA is a
-        # contiguous 128-row chunk. Elementwise index compaction
-        # (nonzero / full-length top_k / cumsum+searchsorted) all cost
-        # ~1 ms per attempt at 1M on this chip; the block scheme is ~50 us.
-        # Non-members ride along as padding, masked out of every reduction
-        # by kept_sub/ball membership tests — exactness is untouched.
         Q = subset_q
         B = _SUBSET_BLOCK
         KB = Q // B
@@ -752,6 +668,129 @@ def _make_emit_batch(
 
         medoid = jnp.where(ok, idx[slot], seed)
         need_full = (s_abort | ~ok) & ~no_cand
+        blocks = jnp.zeros(NB, bool).at[
+            jnp.where(valid_b, bids, NB)
+        ].set(True, mode="drop")
+        return (
+            medoid, need_full, ok, idx, valid, tried_s, s_density, key,
+            n_dists, n_dists_eff, blocks,
+        )
+
+    def wander(matrixT, lengths, kept, seed, d0, key, n_dists, n_dists_eff):
+        """Hill-climb from `seed` given its distance row `d0`; returns
+        (medoid, d, n_dists', n_dists_eff').
+
+        With `use_subset`, the climb first runs inside the seed's gathered
+        _SUBSET_RADIUS ball (phase 1, (C,F)x(F,Q) matmuls); it continues in
+        the classic full-sweep loop (phase 2) only if the ball overflowed Q
+        or the medoid drifted to the ball's safety boundary. Without it,
+        each step evaluates all sampled candidates in one (C,F)x(F,N)
+        matmul and the jump target's distance row becomes the next medoid's
+        distances for free.
+        """
+        N = matrixT.shape[1]
+        iota = jnp.arange(N)
+        tried0 = jnp.zeros(N, bool).at[seed].set(True)
+        if use_pallas:
+            wk = jnp.where(kept, lengths, 0.0)  # kept is frozen per attempt
+
+        def cond(carry):
+            return ~carry[0]
+
+        def body(carry):
+            _done, medoid, d, density, tried, key, n_dists, n_dists_eff = carry
+            key, k1 = jax.random.split(key)
+            elig = (d <= _MEDOID_RADIUS) & kept & ~tried & (iota != medoid)
+            gumbel = -jnp.log(
+                -jnp.log(jax.random.uniform(k1, (N,)) + 1e-20) + 1e-20
+            )
+            score = jnp.where(elig, gumbel, -jnp.inf)
+            if _USE_APPROX_TOPK:
+                _, cand = jax.lax.approx_max_k(score, C)
+            else:
+                _, cand = jax.lax.top_k(score, C)
+            cand_valid = elig[cand]
+
+            if use_pallas:
+                # One matrix pass, no (C, N) distance matrix in HBM; the
+                # kernel's column-id == candidate-id zeroing reproduces the
+                # XLA path's explicit self term (w * (r - 0)).
+                dens = candidate_density_sweep(matrixT, cand, wk)
+            else:
+                rows = matrixT[:, cand]  # (F, C)
+                D = 0.5 - jnp.einsum(
+                    "fc,fn->cn", rows, matrixT, precision=_prec,
+                    preferred_element_type=jnp.float32,
+                )
+                # Self-distance handling without materializing a zeroed copy
+                # of the (C, N) matrix: the self column's term is written
+                # directly (lengths * (r - 0) ≡ lengths * r, bit-identical),
+                # all other columns use the raw distances.
+                self_m = iota[None, :] == cand[:, None]
+                kept_b = kept[None, :]
+                dens = jnp.sum(
+                    jnp.where(
+                        self_m & kept_b,
+                        lengths[None, :] * _MEDOID_RADIUS,
+                        jnp.where(
+                            (D <= _MEDOID_RADIUS) & kept_b & ~self_m,
+                            lengths[None, :] * (_MEDOID_RADIUS - D),
+                            0.0,
+                        ),
+                    ),
+                    axis=1,
+                )
+            better = cand_valid & (dens > density)
+            any_better = jnp.any(better)
+            j = jnp.argmax(better)
+            # mark tried: cand[0..j] on jump, all valid candidates otherwise
+            upto = jnp.where(any_better, j + 1, jnp.sum(cand_valid))
+            mark_idx = jnp.where(jnp.arange(C) < upto, cand, N)
+            tried = tried.at[mark_idx].set(True, mode="drop")
+
+            medoid = jnp.where(any_better, cand[j], medoid)
+            if use_pallas:
+                # Recompute the (possibly unchanged) medoid's distance row
+                # unconditionally — the kernel never materialized the (C, N)
+                # matrix to slice, and a lax.cond here costs more in branch
+                # result copies than the one extra final-step sweep
+                # (measured 0.06 ms/step of cond overhead vs a 0.02-0.19 ms
+                # sweep). Recomputing the same medoid's row moves the final
+                # d by dot-order ulps vs the carried row — the TPU path's
+                # accepted divergence class.
+                d = row_sweep(matrixT, medoid)
+            else:
+                # D rows are raw; the jump target's self-distance is forced
+                # to exactly 0 here (the zeroed-copy variant did it
+                # matrix-wide)
+                d_jump = jnp.where(iota == cand[j], 0.0, D[j])
+                d = jnp.where(any_better, d_jump, d)
+            density = jnp.where(any_better, dens[j], density)
+            done = ~any_better
+            # pallas steps recompute the medoid's row (one extra sweep)
+            row_extra = jnp.float32(N) if use_pallas else 0.0
+            # `upto` is exactly the number of candidates the reference's
+            # one-at-a-time sampler would have evaluated this step
+            return (
+                done, medoid, d, density, tried, key,
+                n_dists + C * N + row_extra,
+                n_dists_eff + upto.astype(jnp.float32) * N,
+            )
+
+        no_cand = jnp.sum(kept & (d0 <= _MEDOID_RADIUS) & ~tried0) == 0
+        n_dists_eff = n_dists_eff + N  # the reference computes one matvec per seed
+
+        if not use_subset:
+            init = (no_cand, seed, d0, density_of(d0, lengths, kept),
+                    tried0, key, n_dists, n_dists_eff)
+            out = jax.lax.while_loop(cond, body, init)
+            return out[1], out[2], out[6], out[7]
+
+        (medoid, need_full, ok, idx, valid, tried_s, s_density, key,
+         n_dists, n_dists_eff, _blocks) = subset_phase1(
+            matrixT, lengths, kept, seed, d0, no_cand, key,
+            n_dists, n_dists_eff,
+        )
         # expand subset state to full space for the (rare) phase-2 loop;
         # the N-sized scatter only runs when that loop actually will
         tried_full = jax.lax.cond(
@@ -797,8 +836,18 @@ def _make_emit_batch(
         # sweep itself (0.17 ms each at 1M). When the medoid never moved
         # this differs from the cached d0 row by dot-order ulps — the
         # subset path's accepted divergence class, mirrored by the oracle.
-        d = full_row(medoid)
-        n_dists = n_dists + jnp.float32(N)
+        # The XLA row comes from the SHARED batched kernel (spec_batch with
+        # the medoid broadcast) so classic attempts, speculative lanes and
+        # the oracle read bit-identical final rows; pallas keeps the
+        # row_sweep kernel (TPU's accepted divergence class).
+        if use_pallas:
+            d = row_sweep(matrixT, medoid)
+            n_dists = n_dists + jnp.float32(N)
+        else:
+            d = spec_batch(
+                matrixT, jnp.full((_SPEC_SEEDS,), medoid, jnp.int32)
+            )[0]
+            n_dists = n_dists + jnp.float32(_SPEC_SEEDS) * N
         return medoid, d, n_dists, n_dists_eff
 
     def histogram(d, lengths, kept):
