@@ -296,7 +296,13 @@ class SequentialOracle:
         rng_seed: int = 0,
         pad_multiple: int = _LANES,
         wander_scope: str = "full",
+        attempt_batch: str = "auto",
     ):
+        # attempt_batch is accepted (and ignored) so parity tests can pass
+        # the same kwargs to engine and oracle: the engine's speculative
+        # attempt lanes admit only sequential-equivalent prefixes, so THIS
+        # sequential oracle is the ground truth for every setting.
+        del attempt_batch
         # pad_multiple must match the engine's column tile (128 * mesh size)
         # because the Gumbel draws span the padded width
         from vamb_tpu.cluster import engine_order

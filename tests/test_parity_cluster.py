@@ -151,6 +151,27 @@ class TestSubsetWanderParity:
             matrix, lengths, rng_seed=13, windowsize=120, wander_scope="subset"
         )
 
+    def test_subset_lanes_off_classic_path(self):
+        "attempt_batch='off' keeps the classic one-attempt path covered."
+        matrix, lengths = clumpy_latents(25, 25, 32, noise_frac=0.2, seed=2)
+        assert_same_emission(
+            matrix, lengths, rng_seed=7, windowsize=60,
+            wander_scope="subset", attempt_batch="off",
+        )
+
+    def test_subset_lanes_rejection_heavy_regime(self):
+        """Uniform latents under subset+lanes: most lanes REJECT (no
+        removals, window updates only), pvr bumps must cut mid-batch, and
+        the radius-0.06 fallback lanes drain the tail — the regime where
+        the acceptance scan's window/pvr replay is actually load-bearing."""
+        rng = np.random.default_rng(31)
+        matrix = rng.normal(size=(900, 32)).astype(np.float32)
+        lengths = rng.integers(2000, 10_000, 900).astype(np.float32)
+        assert_same_emission(
+            matrix, lengths, rng_seed=11, windowsize=40, minsuccesses=5,
+            wander_scope="subset",
+        )
+
     def test_subset_dense_overflow_regime(self):
         """A single dense clump larger than the block budget forces the
         overflow fallback on most attempts."""

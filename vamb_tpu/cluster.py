@@ -433,6 +433,7 @@ def _make_emit_batch(
     replicate_outputs=None,
     use_subset: bool = False,
     subset_q: int = _SUBSET_Q,
+    use_lanes: bool = False,
 ):
     """Build the fused device program emitting up to `batch_clusters` clusters.
 
@@ -866,24 +867,48 @@ def _make_emit_batch(
     def find_threshold(hist, pvr):
         return _find_threshold_device(hist, pvr)
 
-    def update_successes(state: _State, success):
-        "Reference cluster.py:386-413, with a circular buffer for the deque."
-        full = state.attempts_len == windowsize
-        popped = state.attempts[state.attempts_head]
-        successes = state.successes - jnp.where(full, popped.astype(jnp.int32), 0)
-        head = jnp.where(full, (state.attempts_head + 1) % windowsize, state.attempts_head)
-        length = jnp.where(full, state.attempts_len - 1, state.attempts_len)
-        attempts = state.attempts.at[(head + length) % windowsize].set(success)
+    def win_update(attempts, length, head, successes, pvr, order_pos, success):
+        """Success-window step on bare fields (reference cluster.py:386-413,
+        with a circular buffer for the deque); shared by the per-attempt
+        state update and the speculative-lane acceptance scan. Returns the
+        updated fields plus the bump flag."""
+        full = length == windowsize
+        popped = attempts[head]
+        successes = successes - jnp.where(full, popped.astype(jnp.int32), 0)
+        head = jnp.where(full, (head + 1) % windowsize, head)
+        length = jnp.where(full, length - 1, length)
+        attempts = attempts.at[(head + length) % windowsize].set(success)
         length = length + 1
         successes = successes + success.astype(jnp.int32)
         bump = (length == windowsize) & (successes < minsuccesses)
+        return (
+            attempts,
+            jnp.where(bump, 0, length),
+            jnp.where(bump, 0, head),
+            jnp.where(bump, 0, successes),
+            jnp.where(bump, pvr + jnp.float32(0.1), pvr),
+            jnp.where(bump, 0, order_pos),
+            bump,
+        )
+
+    def update_successes(state: _State, success):
+        "win_update applied to the engine state."
+        attempts, length, head, successes, pvr, order_pos, _bump = win_update(
+            state.attempts,
+            state.attempts_len,
+            state.attempts_head,
+            state.successes,
+            state.pvr,
+            state.order_pos,
+            success,
+        )
         return state._replace(
             attempts=attempts,
-            attempts_len=jnp.where(bump, 0, length),
-            attempts_head=jnp.where(bump, 0, head),
-            successes=jnp.where(bump, 0, successes),
-            pvr=jnp.where(bump, state.pvr + jnp.float32(0.1), state.pvr),
-            order_pos=jnp.where(bump, 0, state.order_pos),
+            attempts_len=length,
+            attempts_head=head,
+            successes=successes,
+            pvr=pvr,
+            order_pos=order_pos,
         )
 
     # Batch-local labels ride back to the host as the narrowest dtype that
@@ -1222,11 +1247,322 @@ def _make_emit_batch(
                 )
                 return state, recs
 
+            def lanes_extension(state, recs):
+                """Speculative attempt lanes: after the exact attempt above,
+                evaluate the REMAINING alive speculative-cache slots as
+                independent attempts against the current state, then admit a
+                sequential prefix of them whose computations provably equal
+                sequential play (docs/engine_roadmap.md design).
+
+                Soundness: lane s's entire computation depends on the kept
+                mask only inside region_s = (its gathered ball blocks) ∪
+                {d_s <= 0.3}: the no-candidate test and the climb see kept
+                only through the gathered blocks, and the histogram, member
+                selection, and loner count all gate on d_s <= XMAX (the
+                negative-d corner included, since negatives pass <=). A
+                sequential acceptance scan therefore admits lane s only
+                while (a) no earlier-admitted lane removed a point in
+                region_s — including lane s's own seed, which always lies
+                within region_s because the drift guard bounds
+                d(seed, medoid) <= _SUBSET_ABORT < XMAX; (b) no earlier
+                lane bumped the pvr (which would reseat seed order and the
+                threshold rule); (c) lane s completed inside the subset
+                (full-sweep fallbacks rerun exactly as the next classic
+                attempt); (d) capacity and remaining-point gates that end
+                the sequential loop have not fired. Any admissible prefix
+                is emission-identical to sequential play; a cut merely
+                defers the lane, which then recomputes from live state.
+
+                RNG: the key chain advances exactly once per PROCESSED
+                attempt (reject or emit), so lane keys are the precomputed
+                chain links in alive-slot order and a cut consumes nothing
+                — identical to the sequential splits.
+
+                Loner lanes are processed inline (one chain split per
+                emitted loner, exactly the burst extension's accounting);
+                slot exhaustion simply ends the batch — the next classic
+                iteration refills, as sequential play would.
+
+                Numerics are the classic path's own: per-lane climbs replay
+                subset_phase1 with the lane's chain key, per-lane histogram
+                and threshold scans run on (N,)/(60,) shapes identical to
+                the classic attempt, and the batched final rows share the
+                spec_batch expression whose rows the classic path and the
+                oracle read (composition-independence pinned in
+                tests/test_cluster.py). The sequential oracle therefore
+                needs NO batching awareness: these lanes are pinned by the
+                existing emission-parity suite with attempt batching on.
+                """
+                N = matrixT.shape[1]
+                s_arr = jnp.arange(_SPEC_SEEDS)
+
+                def l_pred(state, recs):
+                    seeds = state.spec_seeds
+                    safe = jnp.where(seeds >= 0, seeds, 0)
+                    return (
+                        jnp.any(
+                            (s_arr >= state.spec_next)
+                            & (seeds >= 0)
+                            & state.kept[safe]
+                        )
+                        & (recs.n_emitted < K)
+                        & (state.n_remaining > 0)
+                    )
+
+                def run_once(carry):
+                    state, recs, _flag = carry
+                    seeds = state.spec_seeds
+                    safe = jnp.where(seeds >= 0, seeds, 0)
+                    alive = (
+                        (s_arr >= state.spec_next)
+                        & (seeds >= 0)
+                        & state.kept[safe]
+                    )
+
+                    # chain links: one split per processed attempt
+                    def chain(k, _):
+                        k2 = jax.random.split(k)
+                        return k2[0], (k2[0], k2[1])
+
+                    _, (keys_after, subs) = jax.lax.scan(
+                        chain, state.key, None, length=_SPEC_SEEDS
+                    )
+                    key_rank = jnp.clip(
+                        jnp.cumsum(alive) - 1, 0, _SPEC_SEEDS - 1
+                    )
+                    lane_sub = subs[key_rank]
+
+                    # ---- lane climbs against the current (frozen) state --
+                    def climb(_, xs):
+                        al, seed, d0, sub = xs
+                        seed = jnp.where(al, seed, jnp.int32(0))
+                        d0 = jnp.where(al, d0, jnp.inf)
+                        iota = jnp.arange(N)
+                        tried0 = iota == seed
+                        no_cand = (
+                            jnp.sum(
+                                state.kept & (d0 <= _MEDOID_RADIUS) & ~tried0
+                            )
+                            == 0
+                        ) | ~al
+                        (medoid, need_full, _ok, _idx, _valid, _tried,
+                         _dens, _key, nd, nde, blocks) = subset_phase1(
+                            matrixT, lengths, state.kept, seed, d0, no_cand,
+                            sub, jnp.float32(0), jnp.float32(N),
+                        )
+                        return None, (medoid, need_full, nd, nde, blocks)
+
+                    _, (medoids, need_full, nd_l, nde_l, blocks) = (
+                        jax.lax.scan(
+                            climb, None,
+                            (alive, seeds, state.spec_d, lane_sub),
+                        )
+                    )
+
+                    # ---- batched final rows + per-lane decisions ---------
+                    rows8 = spec_batch(matrixT, medoids)  # (S, N)
+
+                    def decide(_, d):
+                        n_close = jnp.sum((d < _MEDOID_RADIUS) & state.kept)
+                        hist = histogram(d, lengths, state.kept)
+                        thr, opvr, found = find_threshold(hist, state.pvr)
+                        return None, (n_close, thr, opvr, found)
+
+                    _, (n_close_l, thr_l, opvr_l, found_l) = jax.lax.scan(
+                        decide, None, rows8
+                    )
+                    is_loner_l = n_close_l == 1
+                    is_normal_l = ~is_loner_l & found_l
+                    is_fallback_l = ~is_loner_l & ~found_l & (state.pvr > 0.55)
+                    is_reject_l = ~is_loner_l & ~found_l & (state.pvr <= 0.55)
+                    radius_l = jnp.where(
+                        is_normal_l,
+                        thr_l,
+                        jnp.where(is_fallback_l, _DEFAULT_RADIUS, jnp.nan),
+                    )
+                    iota = jnp.arange(N)
+                    sel = (
+                        jnp.where(
+                            is_loner_l[:, None],
+                            iota[None, :] == medoids[:, None],
+                            rows8
+                            <= jnp.where(
+                                jnp.isnan(radius_l), -1.0, radius_l
+                            )[:, None],
+                        )
+                        & state.kept[None, :]
+                    )
+                    sel_counts = jnp.sum(sel, axis=1)
+                    region = (rows8 <= _XMAX) | jnp.repeat(
+                        blocks, _SUBSET_BLOCK, axis=1
+                    )
+                    # pairwise emit-vs-region conflicts in one small matmul
+                    M = (
+                        jnp.einsum(
+                            "kn,sn->ks",
+                            sel.astype(jnp.float32),
+                            region.astype(jnp.float32),
+                        )
+                        > 0.0
+                    )
+
+                    # ---- sequential acceptance scan (unrolled) -----------
+                    att = state.attempts
+                    alen = state.attempts_len
+                    ahead = state.attempts_head
+                    succ = state.successes
+                    pvr0 = state.pvr
+                    pvr_r = state.pvr
+                    base = recs.n_emitted
+                    n_em = recs.n_emitted
+                    n_rem = state.n_remaining
+                    order_pos_r = state.order_pos
+                    spec_next_r = state.spec_next
+                    go = jnp.bool_(True)
+                    emit_mask = jnp.zeros(_SPEC_SEEDS, bool)
+                    proc_mask = jnp.zeros(_SPEC_SEEDS, bool)
+                    emit_pos = jnp.zeros(_SPEC_SEEDS, jnp.int32)
+                    succ_rec = jnp.zeros(_SPEC_SEEDS, jnp.int32)
+                    att_rec = jnp.zeros(_SPEC_SEEDS, jnp.int32)
+                    proc_count = jnp.int32(0)
+                    for s in range(_SPEC_SEEDS):
+                        conflict = jnp.any(emit_mask & M[:, s])
+                        can = (
+                            go
+                            & alive[s]
+                            & ~conflict
+                            & ~need_full[s]
+                            & (n_em < K)
+                            & (n_rem > 0)
+                        )
+                        # a reachable lane that can't run cuts the batch
+                        go = go & (~alive[s] | can)
+                        emit_s = can & (
+                            is_loner_l[s] | is_normal_l[s] | is_fallback_l[s]
+                        )
+                        succ_rec = succ_rec.at[s].set(succ)
+                        att_rec = att_rec.at[s].set(alen)
+                        emit_pos = emit_pos.at[s].set(n_em)
+                        emit_mask = emit_mask.at[s].set(emit_s)
+                        proc_mask = proc_mask.at[s].set(can)
+                        proc_count = proc_count + can.astype(jnp.int32)
+                        n_em = n_em + emit_s.astype(jnp.int32)
+                        n_rem = n_rem - jnp.where(emit_s, sel_counts[s], 0)
+                        op_here = jnp.where(
+                            can, ranks[safe[s]] + 1, order_pos_r
+                        )
+                        do_upd = can & (
+                            is_reject_l[s]
+                            | (is_normal_l[s] & (pvr0 < 0.55))
+                        )
+                        (att2, alen2, ahead2, succ2, pvr2, op2, bump) = (
+                            win_update(
+                                att, alen, ahead, succ, pvr0, op_here,
+                                is_normal_l[s] & (pvr0 < 0.55),
+                            )
+                        )
+                        bumped = do_upd & bump
+                        att = jnp.where(do_upd, att2, att)
+                        alen = jnp.where(do_upd, alen2, alen)
+                        ahead = jnp.where(do_upd, ahead2, ahead)
+                        succ = jnp.where(do_upd, succ2, succ)
+                        pvr_r = jnp.where(bumped, pvr2, pvr_r)
+                        order_pos_r = jnp.where(
+                            can, jnp.where(bumped, op2, op_here), order_pos_r
+                        )
+                        spec_next_r = jnp.where(
+                            can,
+                            jnp.where(
+                                bumped, jnp.int32(_SPEC_SEEDS), jnp.int32(s + 1)
+                            ),
+                            spec_next_r,
+                        )
+                        go = go & ~bumped
+
+                    # ---- apply the admitted prefix -----------------------
+                    cid_l = state.next_cid + (emit_pos - base)
+                    lab_sel = emit_mask[:, None] & sel
+                    lab_val = jnp.max(
+                        jnp.where(lab_sel, cid_l[:, None], -1), axis=0
+                    )
+                    key_new = jnp.where(
+                        proc_count > 0,
+                        keys_after[
+                            jnp.clip(proc_count - 1, 0, _SPEC_SEEDS - 1)
+                        ],
+                        state.key,
+                    )
+                    state = state._replace(
+                        kept=state.kept & ~jnp.any(lab_sel, axis=0),
+                        labels=jnp.where(lab_val >= 0, lab_val, state.labels),
+                        n_remaining=n_rem,
+                        next_cid=state.next_cid + (n_em - base),
+                        order_pos=order_pos_r,
+                        spec_next=spec_next_r,
+                        key=key_new,
+                        attempts=att,
+                        attempts_len=alen,
+                        attempts_head=ahead,
+                        successes=succ,
+                        pvr=pvr_r,
+                        # raw counts the work actually done (all lanes'
+                        # climbs, the 8-row final matmul and 8 histograms);
+                        # effective counts only processed lanes — what the
+                        # reference's sequential loop would have computed
+                        n_dists=state.n_dists
+                        + jnp.sum(nd_l)
+                        + jnp.float32(2 * _SPEC_SEEDS) * N,
+                        n_dists_eff=state.n_dists_eff
+                        + jnp.sum(jnp.where(proc_mask, nde_l, 0.0)),
+                    )
+                    rec_pos = jnp.where(emit_mask, emit_pos, K)
+
+                    def w(arr, vals):
+                        return arr.at[rec_pos].set(vals, mode="drop")
+
+                    recs = _Records(
+                        medoid=w(recs.medoid, medoids),
+                        seed=w(recs.seed, seeds),
+                        kind=w(
+                            recs.kind,
+                            jnp.where(
+                                is_loner_l,
+                                _KIND_LONER,
+                                jnp.where(
+                                    is_fallback_l, _KIND_FALLBACK, _KIND_NORMAL
+                                ),
+                            ).astype(jnp.int32),
+                        ),
+                        radius=w(recs.radius, radius_l),
+                        observed_pvr=w(
+                            recs.observed_pvr,
+                            jnp.where(is_normal_l, opvr_l, jnp.nan),
+                        ),
+                        pvr=w(recs.pvr, jnp.full(_SPEC_SEEDS, pvr0)),
+                        successes=w(recs.successes, succ_rec),
+                        attempts=w(recs.attempts, att_rec),
+                        n_emitted=n_em,
+                    )
+                    return state, recs, jnp.bool_(False)
+
+                # one-shot while loop: zero-cost skip when no lanes remain
+                # (a lax.cond would copy the large state arrays per branch)
+                state, recs, _ = jax.lax.while_loop(
+                    lambda c: c[2],
+                    run_once,
+                    (state, recs, l_pred(state, recs)),
+                )
+                return state, recs
+
             # A loner seed flows through the normal attempt unchanged (its
             # wander has zero iterations and it emits as a loner); the
-            # extension then drains any further consecutive cached loners.
+            # extension then drains any further consecutive cached loners,
+            # and the speculative lanes batch whatever alive slots remain.
             state, recs = normal_attempt(state, recs)
-            return burst_extension(state, recs)
+            state, recs = burst_extension(state, recs)
+            if use_lanes:
+                state, recs = lanes_extension(state, recs)
+            return state, recs
 
         def cond(carry):
             state, recs = carry
@@ -1354,6 +1690,13 @@ class ClusterGenerator:
         compact_min_pad: never compact below this padded column count
         compact_async: pre-compile smaller-size programs on a background
             thread so compaction never stalls the dispatch loop
+        attempt_batch: "auto"/"on"/"off" — speculative attempt lanes: after
+            each exact attempt, the remaining alive speculative-cache slots
+            are evaluated as independent attempts in one device iteration
+            (batched final-row matmul, per-lane climbs) and a provably
+            sequential-equivalent prefix is admitted (see lanes_extension).
+            Rides the subset wander path; "auto" enables it wherever subset
+            wander is active
 
     Compaction: every sweep streams the full padded matrix, so once most
     points are clustered the engine pays for dead columns. When the
@@ -1386,6 +1729,7 @@ class ClusterGenerator:
         compact_async: bool = True,
         wander_kernel: str = "auto",
         wander_scope: str = "auto",
+        attempt_batch: str = "auto",
     ):
         if matrix.dtype != np.float32:
             raise ValueError("Matrix must be of dtype float32")
@@ -1484,6 +1828,20 @@ class ClusterGenerator:
         )
         self._use_subset = use_subset
         self._subset_q = min(_SUBSET_Q, n_pad)
+        # Speculative attempt lanes ride the subset machinery (their
+        # conflict regions are built from the gathered ball blocks), so
+        # they activate exactly where subset wander does.
+        if attempt_batch not in ("auto", "on", "off"):
+            raise ValueError(
+                f"attempt_batch must be auto/on/off, not {attempt_batch}"
+            )
+        if attempt_batch == "on" and not use_subset:
+            raise ValueError(
+                "attempt_batch='on' requires the subset wander path "
+                "(wander_scope 'subset', or 'auto' above the size floor "
+                "on a single f32 device)"
+            )
+        self._attempt_batch = attempt_batch
 
         if mesh is None:
             put_cols = jnp.asarray
@@ -1555,7 +1913,8 @@ class ClusterGenerator:
                 use_subset and live_pad >= _SUBSET_AUTO_MIN
             )
             q = min(self._subset_q, live_pad) if subset_here else 0
-            fn = self._emit_cache.get((subset_here, q))
+            lanes_here = subset_here and attempt_batch != "off"
+            fn = self._emit_cache.get((subset_here, q, lanes_here))
             if fn is None:
                 fn = _make_emit_batch(
                     windowsize, minsuccesses, min(maxsteps, n_pad),
@@ -1564,8 +1923,9 @@ class ClusterGenerator:
                     replicate_outputs=replicate_outputs,
                     use_subset=subset_here,
                     subset_q=q,
+                    use_lanes=lanes_here,
                 )
-                self._emit_cache[(subset_here, q)] = fn
+                self._emit_cache[(subset_here, q, lanes_here)] = fn
             return fn
 
         self._emit_fn_for = emit_fn_for
@@ -1607,7 +1967,7 @@ class ClusterGenerator:
             else (
                 f_pad, windowsize, minsuccesses, min(maxsteps, n_pad),
                 batch_clusters, str(ddtype), use_pallas, wander_scope,
-                use_subset, self._subset_q, _SUBSET_BLOCK,
+                use_subset, self._subset_q, _SUBSET_BLOCK, attempt_batch,
             )
         )
         if self._exec_cache_key is not None:
