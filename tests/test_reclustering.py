@@ -179,3 +179,82 @@ class TestRecluster:
         lengths = np.full(20, 3000)
         bins_tight = dbscan_genus(pts, idx, lengths, eps=0.01)
         assert len([b for b in bins_tight if len(b) > 1]) == 2
+
+
+class TestDBSCANSklearnEquivalence:
+    """Property test for the documented simplification in reclustering.py:
+    with contig-length sample weights (every weight >= min contig length >>
+    min_samples=5) weighted DBSCAN reduces to connected components of the
+    eps-graph. Verified here directly against sklearn.cluster.DBSCAN with
+    sample_weight — the exact call the reference makes
+    (/root/reference/vamb/reclustering.py:294-301)."""
+
+    @staticmethod
+    def _partition(bins):
+        return {frozenset(b) for b in bins}
+
+    @staticmethod
+    def _sklearn_bins(latent, indices, lengths, eps):
+        from sklearn.cluster import DBSCAN
+        from sklearn.metrics import pairwise_distances
+        from collections import defaultdict
+
+        dm = pairwise_distances(latent, latent, metric="cosine")
+        db = DBSCAN(eps=eps, min_samples=5, metric="precomputed")
+        db.fit(dm, sample_weight=lengths)
+        bins = defaultdict(set)
+        for orig, lab in zip(indices, db.labels_):
+            bins[int(lab)].add(int(orig))
+        return list(bins.values())
+
+    def _check_dataset(self, latent, lengths):
+        idx = np.arange(len(latent))
+        for eps in np.arange(0.01, 0.35, 0.02):
+            ours = self._partition(dbscan_genus(latent, idx, lengths, float(eps)))
+            ref = self._partition(
+                self._sklearn_bins(latent, idx, lengths, float(eps))
+            )
+            assert ours == ref, (
+                f"partition mismatch at eps={eps}: ours={sorted(map(sorted, ours))} "
+                f"sklearn={sorted(map(sorted, ref))}"
+            )
+
+    def test_random_blobs_full_eps_grid(self):
+        rng = np.random.default_rng(0)
+        for trial in range(5):
+            n_blobs = rng.integers(2, 6)
+            centers = rng.normal(0, 1, (n_blobs, 8))
+            sizes = rng.integers(3, 30, n_blobs)
+            latent = np.concatenate(
+                [
+                    c + rng.normal(0, 0.05 * (trial + 1), (s, 8))
+                    for c, s in zip(centers, sizes)
+                ]
+            ).astype(np.float32)
+            lengths = rng.integers(2000, 50_000, len(latent))
+            self._check_dataset(latent, lengths)
+
+    def test_uniform_noise_cloud(self):
+        # dense cloud: components merge/split right at the eps thresholds
+        rng = np.random.default_rng(1)
+        latent = rng.normal(0, 1, (120, 6)).astype(np.float32)
+        lengths = rng.integers(2000, 10_000, 120)
+        self._check_dataset(latent, lengths)
+
+    def test_duplicates_and_zero_vectors(self):
+        rng = np.random.default_rng(2)
+        latent = rng.normal(0, 1, (40, 5)).astype(np.float32)
+        latent[10] = latent[3]          # exact duplicates
+        latent[20] = latent[3]
+        latent[30] = 0.0                # zero vector (cosine dist 1 to all)
+        lengths = rng.integers(2000, 9_000, 40)
+        self._check_dataset(latent, lengths)
+
+    def test_minimum_realistic_weight(self):
+        # the reduction's contract is weight >= min_samples; the reference's
+        # smallest allowed contig length (-m 250, and the 2000 default) is
+        # far above min_samples=5 — pin the boundary itself
+        rng = np.random.default_rng(3)
+        latent = rng.normal(0, 1, (60, 4)).astype(np.float32)
+        lengths = np.full(60, 5)  # == min_samples exactly
+        self._check_dataset(latent, lengths)

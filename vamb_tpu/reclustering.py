@@ -13,8 +13,11 @@ SemiBin2 algorithm). Two algorithms:
   stop after 3 non-improving eps values (reclustering.py:239-320).
   With contig-length sample weights, every point satisfies min_samples=5,
   so DBSCAN reduces to connected components of the eps-neighborhood graph;
-  implemented directly that way (documented simplification — equivalent
-  output for all realistic length weights).
+  implemented directly that way. The reduction is property-tested against
+  sklearn.cluster.DBSCAN(sample_weight=...) itself — identical partitions
+  across datasets x the full eps grid x length weights down to the
+  weight==min_samples boundary (tests/test_reclustering.py::
+  TestDBSCANSklearnEquivalence).
 """
 
 from collections import defaultdict
