@@ -258,3 +258,47 @@ def test_oracle_is_nontrivial_on_mini_bams():
     names, lengths, records = parse_bam(path)
     depths = pileup(names, lengths, records)
     assert sum(int(d.sum()) for d in depths) > 0
+
+
+def test_qc_fail_flag_skipped(tmp_path):
+    "0x200 (QC fail) alignments are excluded, like the other skip flags."
+    p = tmp_path / "a.bam"
+    alns = full_cover_alignments(0, 1)
+    alns.append(
+        alignment(0, 0, [cigar_op(1150, "M")], flag=0x200, read_name=b"qcfail")
+    )
+    write_bam(p, REFS, alns)
+    _, matrix = coverage_from_bams([str(p)])
+    np.testing.assert_allclose(matrix[0, 0], 1.0, rtol=1e-6)
+
+
+def test_nm_missing_passes_identity_filter(tmp_path):
+    """Documented policy (docs/bamcov_policies.md): alignments without an NM
+    tag cannot be identity-scored and are KEPT regardless of minid. Real
+    mappers (minimap2, strobealign, bwa) always emit NM, so this only
+    affects synthetic/stripped BAMs; CoverM would instead fail on them."""
+    p = tmp_path / "a.bam"
+    alns = [alignment(0, 0, [cigar_op(1150, "M")], nm=None, read_name=b"nonm")]
+    write_bam(p, REFS, alns)
+    _, strict = coverage_from_bams([str(p)], minid=0.99)
+    np.testing.assert_allclose(strict[0, 0], 1.0, rtol=1e-6)
+
+
+def test_identity_denominator_counts_m_i_d_ops(tmp_path):
+    """identity = 1 - NM/alen with alen = sum of M/I/D/=/X op lengths
+    (soft/hard clips excluded) — pin the denominator with a read whose
+    fate under minid flips depending on whether clips are counted."""
+    p = tmp_path / "a.bam"
+    # 500S 1000M nm=80: identity = 1-80/1000 = 0.92 (clips excluded);
+    # counting the clip would give 1-80/1500 = 0.947
+    alns = [
+        alignment(
+            0, 0, [cigar_op(500, "S"), cigar_op(1000, "M")], nm=80,
+            read_name=b"clipped",
+        )
+    ]
+    write_bam(p, REFS, alns)
+    _, at93 = coverage_from_bams([str(p)], minid=0.93)
+    assert at93[0, 0] == 0.0  # 0.92 < 0.93: filtered (clips NOT in denom)
+    _, at91 = coverage_from_bams([str(p)], minid=0.91)
+    assert at91[0, 0] > 0.0
