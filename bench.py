@@ -98,28 +98,31 @@ def bench_vae() -> dict:
     nb = num_batches(VAE_N, VAE_BATCH)
     key = jax.random.key(0)
 
-    def one_epoch(params, bn_state, opt_state, key):
-        key, sub = jax.random.split(key)
-        params, bn_state, opt_state, comps = epoch_fn(
-            params, bn_state, opt_state, data, sub,
-            batchsize=VAE_BATCH, nbatches=nb,
+    def run_epochs(params, bn_state, opt_state, key, n):
+        # production path: one multi-epoch dispatch (trainmodel dispatches
+        # whole constant-batchsize segments the same way)
+        params, bn_state, opt_state, key, comps = epoch_fn(
+            params, bn_state, opt_state, data, key,
+            batchsize=VAE_BATCH, nbatches=nb, nepochs=n,
         )
         return params, bn_state, opt_state, key, comps
 
     # sync by fetching the tiny metrics vector: on the tunneled TPU
-    # platform block_until_ready does not reliably block
-    for _ in range(VAE_WARM_EPOCHS):
-        params, bn_state, opt_state, key, comps = one_epoch(
-            params, bn_state, opt_state, key
-        )
+    # platform block_until_ready does not reliably block. Best-of-3 timed
+    # rounds: the shared TPU pool's delivered throughput swings >2x between
+    # moments, so a single window under-reports steady-state speed.
+    params, bn_state, opt_state, key, comps = run_epochs(
+        params, bn_state, opt_state, key, VAE_TIMED_EPOCHS
+    )
     np.asarray(comps)
-    t0 = time.time()
-    for _ in range(VAE_TIMED_EPOCHS):
-        params, bn_state, opt_state, key, comps = one_epoch(
-            params, bn_state, opt_state, key
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        params, bn_state, opt_state, key, comps = run_epochs(
+            params, bn_state, opt_state, key, VAE_TIMED_EPOCHS
         )
-    np.asarray(comps)
-    elapsed = time.time() - t0
+        np.asarray(comps)
+        elapsed = min(elapsed, time.time() - t0)
 
     contigs_per_s = VAE_N * VAE_TIMED_EPOCHS / elapsed
     print(
@@ -140,27 +143,26 @@ def bench_vae() -> dict:
     epoch16 = vae16._make_epoch_fn(optimizer)
     params, bn_state = vae16.params, vae16.bn_state
 
-    def one_epoch16(params, bn_state, opt_state, key):
-        key, sub = jax.random.split(key)
-        params, bn_state, opt_state, comps = epoch16(
-            params, bn_state, opt_state, data, sub,
-            batchsize=VAE_BATCH, nbatches=nb,
+    def run_epochs16(params, bn_state, opt_state, key, n):
+        params, bn_state, opt_state, key, comps = epoch16(
+            params, bn_state, opt_state, data, key,
+            batchsize=VAE_BATCH, nbatches=nb, nepochs=n,
         )
         return params, bn_state, opt_state, key, comps
 
     key = jax.random.key(0)
-    for _ in range(VAE_WARM_EPOCHS):
-        params, bn_state, opt_state, key, comps = one_epoch16(
-            params, bn_state, opt_state, key
-        )
+    params, bn_state, opt_state, key, comps = run_epochs16(
+        params, bn_state, opt_state, key, VAE_TIMED_EPOCHS
+    )
     np.asarray(comps)
-    t0 = time.time()
-    for _ in range(VAE_TIMED_EPOCHS):
-        params, bn_state, opt_state, key, comps = one_epoch16(
-            params, bn_state, opt_state, key
+    elapsed16 = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        params, bn_state, opt_state, key, comps = run_epochs16(
+            params, bn_state, opt_state, key, VAE_TIMED_EPOCHS
         )
-    np.asarray(comps)
-    elapsed16 = time.time() - t0
+        np.asarray(comps)
+        elapsed16 = min(elapsed16, time.time() - t0)
     rate16 = VAE_N * VAE_TIMED_EPOCHS / elapsed16
     print(
         f"[bench] VAE bf16 opt-in: {VAE_TIMED_EPOCHS} epochs in "
@@ -170,6 +172,70 @@ def bench_vae() -> dict:
     )
     metrics["vae_train_contigs_per_s_chip_bf16_optin"] = rate16
     return metrics
+
+
+def bench_secondary_models() -> dict:
+    """Training-throughput canaries for the non-flagship model families
+    (AAE, VAEVAE, Taxometer) so regressions there show in the per-round
+    JSON. Each trains 4 epochs at 50k contigs with default widths; the
+    first trainmodel call absorbs trace+compile, the second is timed."""
+    import warnings
+
+    from vamb_tpu.models import hier
+    from vamb_tpu.models.aae import AAE
+    from vamb_tpu.models.dataset import make_dataset
+    from vamb_tpu.models.taxometer import Taxometer
+    from vamb_tpu.models.vaevae import VAEVAE
+    from vamb_tpu.taxonomy import ContigTaxonomy
+
+    n, s, epochs = 50_000, 5, 4
+    rng = np.random.default_rng(3)
+
+    def fresh_ds():
+        return make_dataset(
+            rng.exponential(2.0, (n, s)).astype(np.float32),
+            rng.normal(size=(n, 103)).astype(np.float32),
+            rng.integers(2000, 50_000, n),
+        )
+
+    taxes = [
+        ContigTaxonomy(["root", f"phylum{i % 8}", f"genus{i}"]) for i in range(64)
+    ]
+    nodes, ind_nodes, table_parent = hier.make_graph(taxes)
+    targets = np.asarray(
+        [ind_nodes[f"genus{i % 64}"] for i in range(n)], dtype=np.int32
+    )
+
+    out: dict = {}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        runs = {
+            "aae": lambda ds: AAE(nsamples=s, seed=1).trainmodel(
+                ds, nepochs=epochs, batchsize=1024, batchsteps=None
+            ),
+            "vaevae": lambda ds: VAEVAE(
+                nsamples=s, nlabels=len(nodes), nodes=nodes,
+                table_parent=table_parent, hier_loss="flat_softmax", seed=1,
+            ).trainmodel(ds, targets, nepochs=epochs, batchsize=1024, batchsteps=None),
+            "taxometer": lambda ds: Taxometer(
+                nsamples=s, nlabels=len(nodes), nodes=nodes,
+                table_parent=table_parent, seed=1,
+            ).trainmodel(ds, targets, nepochs=epochs, batchsize=1024, batchsteps=None),
+        }
+        for name, run in runs.items():
+            ds = fresh_ds()
+            run(ds)  # trace + compile (disk cache catches repeats)
+            t0 = time.time()
+            run(ds)
+            dt = time.time() - t0
+            rate = n * epochs / dt
+            out[f"{name}_train_contigs_per_s_chip"] = rate
+            print(
+                f"[bench] {name}: {epochs} epochs x {n} contigs in {dt:.2f}s "
+                f"-> {rate:.3g} contigs/s/chip (incl. dispatch+trace)",
+                file=sys.stderr,
+            )
+    return out
 
 
 def bench_clustering() -> tuple[float, dict]:
@@ -371,6 +437,9 @@ def bench_cluster_quality_ab() -> dict:
     # subset wander is the auto default at this size; pin a full-scope run
     # so subset-vs-full quality is tracked every round
     configs.append(("fullscope", {"wander_scope": "full"}))
+    # speculative attempt lanes are on by default here; pin lanes-off so the
+    # newest engine path has an on-device quality+perf A/B like the others
+    configs.append(("lanes_off", {"attempt_batch": "off"}))
 
     out: dict = {}
     counts: list[int] = []
@@ -498,11 +567,42 @@ def _score_bins_vs_truth(
     return nc, mq
 
 
+_STAGE_PATTERNS = {
+    # stage name -> regex over the pipeline's log lines
+    "tnf": r"Processed TNF in ([0-9.]+) seconds",
+    "abundance": r"Processed abundance in ([0-9.]+) seconds",
+    "train_encode": r"Trained VAE and encoded in ([0-9.]+) seconds",
+    "cluster_write": r"Wrote cluster file\(s\) in ([0-9.]+) seconds",
+}
+
+
+def _parse_stage_walls(log_path: str) -> dict:
+    """Per-stage seconds from the pipeline's own stage log lines, so the e2e
+    wall is attributable (stage sums vs total; the remainder is startup,
+    compiles and dispatch)."""
+    import re
+
+    stages = {}
+    try:
+        with open(log_path) as f:
+            text = f.read()
+        for name, pat in _STAGE_PATTERNS.items():
+            m = re.findall(pat, text)
+            if m:
+                stages[name] = float(m[-1])
+    except OSError:
+        pass
+    return stages
+
+
 def _run_e2e(
-    n_contigs: int, n_samples: int, n_genomes: int, hard: bool
+    n_contigs: int, n_samples: int, n_genomes: int, hard: bool,
+    runs: int = 1,
 ) -> dict:
     """Full `bin default` CLI on a synthetic dataset; returns metric dict
-    with wall time and NC/MQ-like quality vs the known ground truth."""
+    with wall time, per-stage breakdown and NC/MQ-like quality vs ground
+    truth. With runs=2 the second run reports the warm wall (same process,
+    jit+disk caches hot) alongside the cold one."""
     import shutil
     import tempfile
 
@@ -514,18 +614,22 @@ def _run_e2e(
 
         from vamb_tpu.__main__ import main as cli_main
 
-        outdir = f"{workdir}/out"
-        t0 = time.time()
-        cli_main(
-            [
-                "bin", "default",
-                "--outdir", outdir,
-                "--fasta", fasta_path,
-                "--abundance_tsv", tsv_path,
-                "--seed", "1",
-            ]
-        )
-        elapsed = time.time() - t0
+        walls = []
+        for run_i in range(max(1, runs)):
+            outdir = f"{workdir}/out{run_i}"
+            t0 = time.time()
+            cli_main(
+                [
+                    "bin", "default",
+                    "--outdir", outdir,
+                    "--fasta", fasta_path,
+                    "--abundance_tsv", tsv_path,
+                    "--seed", "1",
+                ]
+            )
+            walls.append(time.time() - t0)
+        elapsed = walls[0]
+        stages = _parse_stage_walls(f"{outdir}/log.txt")
 
         bins: dict[str, list[int]] = {}
         with open(f"{outdir}/vae_clusters_split.tsv") as f:
@@ -535,6 +639,8 @@ def _run_e2e(
                 bins.setdefault(b, []).append(int(c.split("C", 1)[1]))
         nc, mq = _score_bins_vs_truth(bins, which, lengths, n_genomes)
         n_bins = len(bins)
+        stage_str = " ".join(f"{k}={v:.1f}s" for k, v in stages.items())
+        overhead = walls[-1] - sum(stages.values())
         print(
             f"[bench] e2e: bin default on {n_contigs} contigs x {n_samples} "
             f"samples in {elapsed:.1f}s ({n_contigs / elapsed:.0f} contigs/s "
@@ -542,15 +648,26 @@ def _run_e2e(
             f"{nc} NC-like (r>=.90,p>=.95), {mq} MQ-like (r>=.50,p>=.90))",
             file=sys.stderr,
         )
+        print(
+            f"[bench] e2e stages (last run, wall {walls[-1]:.1f}s): {stage_str} "
+            f"startup+compile+dispatch={overhead:.1f}s"
+            + (f"; warm wall {walls[-1]:.1f}s vs cold {walls[0]:.1f}s" if len(walls) > 1 else ""),
+            file=sys.stderr,
+        )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
-    return {
+    out = {
         "wall_s": elapsed,
         "nc_like": nc,
         "mq_like": mq,
         "split_bins": n_bins,
         "n_genomes": n_genomes,
+        "stages": stages,
+        "overhead_s": overhead,
     }
+    if len(walls) > 1:
+        out["warm_wall_s"] = walls[-1]
+    return out
 
 
 def bench_quality() -> dict:
@@ -558,13 +675,18 @@ def bench_quality() -> dict:
     `bin default` run scored against synthetic ground truth, so NC/MQ-like
     genome recovery lands in the driver's JSON every round (the full
     100k --e2e variant stays opt-in for wall-time reasons)."""
-    m = _run_e2e(n_contigs=20_000, n_samples=5, n_genomes=150, hard=True)
-    return {
+    m = _run_e2e(n_contigs=20_000, n_samples=5, n_genomes=150, hard=True, runs=2)
+    out = {
         "e2e20k_hard_wall_s": m["wall_s"],
+        "e2e20k_hard_warm_wall_s": m.get("warm_wall_s"),
         "e2e20k_hard_nc_like_genomes_of_150": m["nc_like"],
         "e2e20k_hard_mq_like_genomes_of_150": m["mq_like"],
         "e2e20k_hard_split_bins": m["split_bins"],
+        "e2e20k_hard_overhead_s": m["overhead_s"],
     }
+    for k, v in m["stages"].items():
+        out[f"e2e20k_hard_stage_{k}_s"] = v
+    return out
 
 
 def bench_e2e() -> None:
@@ -712,6 +834,7 @@ def main() -> None:
     for stage_name, stage in (
         ("noisy clustering", bench_noisy_clustering),
         ("VAE", bench_vae),
+        ("secondary models", bench_secondary_models),
         ("e2e quality", bench_quality),
         ("cluster quality A/B", bench_cluster_quality_ab),
     ):

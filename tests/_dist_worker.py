@@ -130,7 +130,7 @@ def main() -> None:
     params = jax.device_put(vae.params, NamedSharding(mesh, P()))
     bn = jax.device_put(vae.bn_state, NamedSharding(mesh, P()))
     opt_state = jax.device_put(opt.init(vae.params), NamedSharding(mesh, P()))
-    params, bn, opt_state, comps = epoch_fn(
+    params, bn, opt_state, _rng, comps = epoch_fn(
         params, bn, opt_state, data, jax.random.key(0),
         batchsize=64, nbatches=num_batches(n, 64), n_obs=n,
     )

@@ -49,7 +49,7 @@ DEFAULT_THREADS = min(os.cpu_count() or 1, 8)
 
 def add_help_arguments(parser):
     helpos = parser.add_argument_group(title="Help and version")
-    helpos.add_argument("-h", "--help", help="Print help and exit", action="help")
+    helpos.add_argument("-h", "--help", help="Show this help and exit", action="help")
 
     from . import __version__
 
@@ -65,7 +65,7 @@ def add_general_arguments(subparser):
         "--outdir",
         metavar="",
         type=Path,
-        help="Output directory to create",
+        help="Directory to create and write results into",
         required=True,
     )
     general = subparser.add_argument_group(title="General optional arguments")
@@ -75,7 +75,7 @@ def add_general_arguments(subparser):
         metavar="",
         type=int,
         default=2000,
-        help="Ignore contigs shorter than this [2000]",
+        help="Drop contigs below this length in bp [2000]",
     )
     general.add_argument(
         "-p",
@@ -83,11 +83,11 @@ def add_general_arguments(subparser):
         metavar="",
         type=int,
         default=DEFAULT_THREADS,
-        help=f"number of threads to use where customizable [{DEFAULT_THREADS}]",
+        help=f"Thread count for host-side parallel stages [{DEFAULT_THREADS}]",
     )
     general.add_argument(
         "--norefcheck",
-        help="Skip reference name hashing check [False]",
+        help="Do not verify that input files agree on contig identifiers [False]",
         action="store_true",
     )
     general.add_argument(
@@ -100,7 +100,7 @@ def add_general_arguments(subparser):
         metavar="",
         type=int,
         default=int.from_bytes(os.urandom(7), "little"),
-        help="Random seed (determinism not guaranteed)",
+        help="Seed for all random streams (bit-determinism not guaranteed across platforms)",
     )
     general.add_argument(
         "--profile",
@@ -178,9 +178,9 @@ def _maybe_init_distributed(args) -> None:
 
 def add_composition_arguments(subparser):
     tnfos = subparser.add_argument_group(title="Composition input")
-    tnfos.add_argument("--fasta", metavar="", type=Path, help="Path to fasta file")
+    tnfos.add_argument("--fasta", metavar="", type=Path, help="Contig catalogue as FASTA (optionally gzip/bzip2/xz)")
     tnfos.add_argument(
-        "--composition", metavar="", type=Path, help="Path to .npz of composition"
+        "--composition", metavar="", type=Path, help="Reuse a composition.npz from a previous run"
     )
     return subparser
 
@@ -196,20 +196,20 @@ def add_abundance_arguments(subparser):
         nargs="+",
     )
     abundanceos.add_argument(
-        "--bamdir", metavar="", type=Path, help="Dir with .bam files to use"
+        "--bamdir", metavar="", type=Path, help="Directory of BAM files mapped against the contig catalogue"
     )
     abundanceos.add_argument(
         "--abundance_tsv",
         metavar="",
         type=Path,
-        help='Path to TSV file of precomputed abundances with header being "contigname(\\t<samplename>)*"',
+        help='Precomputed abundance TSV; header must read "contigname(\\t<samplename>)*"',
     )
     abundanceos.add_argument(
         "--abundance",
         metavar="",
         dest="abundancepath",
         type=Path,
-        help="Path to .npz of abundances",
+        help="Reuse an abundance.npz from a previous run",
     )
     abundanceos.add_argument(
         "-z",
@@ -230,12 +230,12 @@ def add_bin_output_arguments(subparser):
         metavar="",
         type=int,
         default=None,
-        help="Minimum bin size to output as fasta [None = no files]",
+        help="Write bins of at least this many bp as FASTA [None = skip FASTA output]",
     )
     bin_os.add_argument(
         "--compress",
         dest="compress_fasta_output",
-        help="Compress FASTA output to with extension '.fna.gz'",
+        help="gzip the emitted bin FASTAs (.fna.gz)",
         action="store_true",
     )
     bin_os.add_argument(
@@ -246,7 +246,7 @@ def add_bin_output_arguments(subparser):
         default=None,
         const="",
         nargs="?",
-        help="Binsplit separator [C if present] (pass empty string to disable)",
+        help="Separator for splitting bins by sample of origin [C when present; '' disables]",
     )
     return subparser
 
@@ -302,12 +302,12 @@ def add_vae_arguments(subparser):
 def add_taxonomy_arguments(subparser, taxonomy_only=False):
     taxonomys = subparser.add_argument_group(title="Taxonomy input")
     taxonomys.add_argument(
-        "--taxonomy", metavar="", type=Path, help="Path to the taxonomy file"
+        "--taxonomy", metavar="", type=Path, help="Taxonomy TSV (contigs + predictions[ + scores])"
     )
     if not taxonomy_only:
         taxonomys.add_argument(
             "--no_predictor",
-            help="Do not complete input taxonomy with Taxometer [False]",
+            help="Use the taxonomy as given instead of refining it with Taxometer first [False]",
             action="store_true",
         )
     return subparser
@@ -561,7 +561,7 @@ def main(argv=None) -> None:
     subparsers = parser.add_subparsers(dest="subcommand")
 
     bin_parser = subparsers.add_parser(
-        "bin", help="VAMB and TaxVAMB binners", add_help=False
+        "bin", help="Train a model and cluster its latent space into bins", add_help=False
     )
     add_help_arguments(bin_parser)
     subparsers_model = bin_parser.add_subparsers(dest="model_subcommand")
@@ -569,12 +569,13 @@ def main(argv=None) -> None:
     vae_parser = subparsers_model.add_parser(
         "default",
         formatter_class=argparse.RawDescriptionHelpFormatter,
-        help="default binner based on a variational autoencoder",
+        help="composition+abundance VAE binner (the flagship path)",
         add_help=False,
         usage="%(prog)s [options]",
-        description="""Bin using a VAE that merges composition and abundance information.
+        description="""The default binner: a VAE embeds each contig's TNF composition and
+per-sample abundance into a latent space, which the medoid engine clusters into bins.
 
-Required arguments: Outdir, at least one composition input and at least one abundance input""",
+Requires --outdir, one composition input and one abundance input.""",
     )
     add_general_arguments(vae_parser)
     add_composition_arguments(vae_parser)
@@ -586,12 +587,13 @@ Required arguments: Outdir, at least one composition input and at least one abun
     vaevae_parser = subparsers_model.add_parser(
         "taxvamb",
         formatter_class=argparse.RawDescriptionHelpFormatter,
-        help="taxonomy informed binner based on a bi-modal variational autoencoder",
+        help="semi-supervised bi-modal VAE binner guided by taxonomy",
         add_help=False,
         usage="%(prog)s [options]",
-        description="""Bin using a semi-supervised VAEVAE model that merges composition, abundance and taxonomic information.
+        description="""TaxVamb: a semi-supervised bi-modal VAE trained on composition, abundance
+and (possibly Taxometer-refined) taxonomy labels; the joint latent space is clustered into bins.
 
-Required arguments: Outdir, taxonomy, at least one composition input and at least one abundance input""",
+Requires --outdir, --taxonomy, one composition input and one abundance input.""",
     )
     add_general_arguments(vaevae_parser)
     add_composition_arguments(vaevae_parser)
@@ -619,12 +621,13 @@ Required arguments: Outdir, taxonomy, at least one composition input and at leas
     predict_parser = subparsers.add_parser(
         "taxometer",
         formatter_class=argparse.RawDescriptionHelpFormatter,
-        help="refines taxonomic annotations of any metagenome classifier",
+        help="refine classifier taxonomy with composition+abundance signal",
         add_help=False,
         usage="%(prog)s [options]",
-        description="""Refine taxonomy using composition and abundance information.
+        description="""Taxometer: train a predictor on composition+abundance features to refine
+(and score) the taxonomy assigned by any upstream classifier.
 
-Required arguments: Outdir, unrefined taxonomy, at least one composition input and at least one abundance input""",
+Requires --outdir, --taxonomy, one composition input and one abundance input.""",
     )
     add_general_arguments(predict_parser)
     add_composition_arguments(predict_parser)
@@ -635,12 +638,12 @@ Required arguments: Outdir, unrefined taxonomy, at least one composition input a
     validate_parser = subparsers.add_parser(
         "taxonomy_benchmark",
         formatter_class=argparse.RawDescriptionHelpFormatter,
-        help="estimates quality of taxonomic annotations",
+        help="k-fold benchmark of taxonomy prediction quality",
         add_help=False,
         usage="%(prog)s [options]",
-        description="""Estimates quality of taxonomic annotations.
+        description="""k-fold cross-validated benchmark of taxonomy prediction quality on this dataset.
 
-Required arguments: Outdir, a taxonomy file, at least one composition input and at least one abundance input""",
+Requires --outdir, --taxonomy, one composition input and one abundance input.""",
     )
     add_general_arguments(validate_parser)
     add_composition_arguments(validate_parser)
@@ -651,10 +654,11 @@ Required arguments: Outdir, a taxonomy file, at least one composition input and 
     recluster_parser = subparsers.add_parser(
         "recluster",
         formatter_class=argparse.RawDescriptionHelpFormatter,
-        help="reclustering using single-copy genes for the binning results of VAMB or TaxVAMB",
+        help="marker-gene-guided refinement of an existing binning",
         add_help=False,
         usage="%(prog)s [options]",
-        description="""Use marker genes to re-cluster (DBScan) or refine (K-means) clusters.
+        description="""Refine an existing binning using single-copy marker genes: split bins with
+duplicated markers via seeded K-means, or re-cluster per genus via DBSCAN.
 
 Required arguments:
   K-means algorithm: Outdir, at least one composition input, at least one marker gene input,
@@ -666,11 +670,11 @@ Required arguments:
     add_abundance_arguments(recluster_parser)
     marker_s = recluster_parser.add_argument_group(title="Marker gene input")
     marker_s.add_argument(
-        "--markers", metavar="", type=Path, help="Path to the marker .npz file"
+        "--markers", metavar="", type=Path, help="Reuse a markers.npz from a previous run"
     )
     marker_s.add_argument(
         "--hmm_path", metavar="", type=Path,
-        help="Path to the .hmm file of marker gene profiles",
+        help="HMMER3 .hmm profile database of single-copy marker genes",
     )
     add_bin_output_arguments(recluster_parser)
     reclusters = recluster_parser.add_argument_group(
@@ -678,16 +682,16 @@ Required arguments:
     )
     reclusters.add_argument(
         "--latent_path", metavar="", type=Path,
-        help="Path to latent space .npz file",
+        help="latent.npz emitted by a previous bin run",
     )
     reclusters.add_argument(
         "--clusters_path", metavar="", type=Path,
-        help="Path to TSV file with clusters",
+        help="Cluster TSV emitted by a previous bin run",
     )
     reclusters.add_argument(
         "--algorithm", metavar="", type=str, default="kmeans",
         choices=["kmeans", "dbscan"],
-        help="Which reclustering algorithm to use ('kmeans', 'dbscan') [kmeans]",
+        help="Refinement algorithm: 'kmeans' or 'dbscan' [kmeans]",
     )
     add_predictor_arguments(recluster_parser)
     add_taxonomy_arguments(recluster_parser)

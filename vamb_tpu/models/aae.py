@@ -30,7 +30,7 @@ import optax
 from ..utils.checkpoint import load_meta, load_pytree, save_pytree
 from . import layers
 from .dataset import VAEDataset, batchsize_at_epoch, encode_chunk_rows, num_batches
-from .training import MetricsDrain, validate_batchsteps
+from .training import MetricsDrain, segment_plan, validate_batchsteps
 
 _ENCODE_CHUNK = 1 << 16
 
@@ -235,124 +235,144 @@ class AAE:
 
         from functools import partial as _partial
 
-        @_partial(jax.jit, static_argnames=("bs", "nb", "n_obs"), donate_argnums=(0,))
-        def epoch_fn(train_state, data, key, bs, nb, n_obs=None):
-            params, bn_state, opts = train_state
+        @_partial(
+            jax.jit,
+            static_argnames=("bs", "nb", "n_obs", "nepochs"),
+            donate_argnums=(0,),
+        )
+        def epoch_fn(train_state, data, rng, bs, nb, n_obs=None, nepochs=1):
+            # `nepochs` epochs per dispatch; per-epoch key chain identical
+            # to the former host loop (see models/training.py epoch_fn).
             depths, tnf = data
             n = depths.shape[0] if n_obs is None else n_obs
-            perm_key, scan_key = jax.random.split(key)
-            perm = jax.random.permutation(perm_key, n)[: nb * bs]
-            if batch_sharding is None:
-                # one epoch-wide gather, contiguous slices per step
-                # (per-step row gathers dominate; see models/vae.py)
-                d_shuf, t_shuf = depths[perm], tnf[perm]
 
-                def get_batch(i):
-                    return (
-                        jax.lax.dynamic_slice_in_dim(d_shuf, i * bs, bs),
-                        jax.lax.dynamic_slice_in_dim(t_shuf, i * bs, bs),
-                    )
-            else:
-                # sharded: per-step gathers keep per-device memory and
-                # per-step collectives batch-sized (see models/vae.py)
-                idx2 = perm.reshape(nb, bs)
+            def one_epoch(carry, _):
+                train_state, rng = carry
+                params, bn_state, opts = train_state
+                rng, key = jax.random.split(rng)
+                perm_key, scan_key = jax.random.split(key)
+                perm = jax.random.permutation(perm_key, n)[: nb * bs]
+                if batch_sharding is None:
+                    # one epoch-wide gather, contiguous slices per step
+                    # (per-step row gathers dominate; see models/vae.py)
+                    d_shuf, t_shuf = depths[perm], tnf[perm]
 
-                def get_batch(i):
-                    idx = jax.lax.dynamic_index_in_dim(idx2, i, keepdims=False)
-                    return (
-                        jax.lax.with_sharding_constraint(depths[idx], batch_sharding),
-                        jax.lax.with_sharding_constraint(tnf[idx], batch_sharding),
-                    )
+                    def get_batch(i):
+                        return (
+                            jax.lax.dynamic_slice_in_dim(d_shuf, i * bs, bs),
+                            jax.lax.dynamic_slice_in_dim(t_shuf, i * bs, bs),
+                        )
+                else:
+                    # sharded: per-step gathers keep per-device memory and
+                    # per-step collectives batch-sized (see models/vae.py)
+                    idx2 = perm.reshape(nb, bs)
 
-            def step(carry, i):
-                params, bn_state, opts, key = carry
-                st_e, st_d, st_dz, st_dy = opts
-                key, k_eps, k_prior_z, k_prior_y, k_eps2 = jax.random.split(key, 5)
-                d_in, t_in = get_batch(i)
-                ones = jnp.ones((bs, 1))
-                zeros_t = jnp.zeros((bs, 1))
+                    def get_batch(i):
+                        idx = jax.lax.dynamic_index_in_dim(idx2, i, keepdims=False)
+                        return (
+                            jax.lax.with_sharding_constraint(depths[idx], batch_sharding),
+                            jax.lax.with_sharding_constraint(tnf[idx], batch_sharding),
+                        )
 
-                # ---- generator phase: update encoder + decoder
-                def gen_loss(gen_params, bn_state):
-                    params_full = {**params, **gen_params}
-                    mu, logvar, y, enc_s = self.encode_apply(
-                        params_full, bn_state, d_in, t_in, True
-                    )
-                    eps = jax.random.normal(k_eps, mu.shape)
-                    z = eps * jnp.exp(logvar / 2) + mu
-                    d_out, t_out, dec_s = self.decode_apply(
-                        params_full, bn_state, z, y, True
-                    )
-                    rec_loss, ce, sse = self.calc_loss(d_in, d_out, t_in, t_out)
-                    adv_z = self._bce(self._disc(params["disc_z"], z), ones)
-                    adv_y = self._bce(self._disc(params["disc_y"], y), ones)
-                    ed = (
-                        (1 - self.sl) * rec_loss
-                        + (self.sl * self.slr) * adv_z
-                        + (self.sl * (1 - self.slr)) * adv_y
-                    )
-                    return ed, ({"enc": enc_s, "dec": dec_s}, rec_loss, ce, sse)
-
-                enc_p, dec_p = split_params(params)
-                gen_params = {**enc_p, **dec_p}
-                (ed_loss, (bn_state, rec_loss, ce, sse)), grads = (
-                    jax.value_and_grad(gen_loss, has_aux=True)(gen_params, bn_state)
+                (params, bn_state, opts, _), metrics = jax.lax.scan(
+                    make_step(get_batch),
+                    (params, bn_state, opts, scan_key),
+                    jnp.arange(nb),
                 )
-                enc_grads = {k: grads[k] for k in enc_keys}
-                dec_grads = {k: grads[k] for k in dec_keys}
-                upd_e, st_e = opt_e.update(enc_grads, st_e, enc_p)
-                upd_d, st_d = opt_d.update(dec_grads, st_d, dec_p)
-                params = {
-                    **params,
-                    **optax.apply_updates(enc_p, upd_e),
-                    **optax.apply_updates(dec_p, upd_d),
-                }
+                return ((params, bn_state, opts), rng), jnp.mean(metrics, axis=0)
 
-                # ---- discriminator z phase (fresh encode, grads only to disc)
-                mu, logvar, y_lat, bn_enc_s = self.encode_apply(
-                    params, bn_state, d_in, t_in, True
-                )
-                bn_state = {"enc": bn_enc_s, "dec": bn_state["dec"]}
-                eps2 = jax.random.normal(k_eps2, mu.shape)
-                z_latent = jax.lax.stop_gradient(eps2 * jnp.exp(logvar / 2) + mu)
-                y_latent = jax.lax.stop_gradient(y_lat)
-                z_prior = jax.random.normal(k_prior_z, (bs, self.ld))
-                y_prior = self._gumbel_softmax_prior(k_prior_y, bs, temperature)
+            def make_step(get_batch):
+                def step(carry, i):
+                    params, bn_state, opts, key = carry
+                    st_e, st_d, st_dz, st_dy = opts
+                    key, k_eps, k_prior_z, k_prior_y, k_eps2 = jax.random.split(key, 5)
+                    d_in, t_in = get_batch(i)
+                    ones = jnp.ones((bs, 1))
+                    zeros_t = jnp.zeros((bs, 1))
 
-                def dz_loss(disc_z):
-                    return 0.5 * (
-                        self._bce(self._disc(disc_z, z_prior), ones)
-                        + self._bce(self._disc(disc_z, z_latent), zeros_t)
+                    # ---- generator phase: update encoder + decoder
+                    def gen_loss(gen_params, bn_state):
+                        params_full = {**params, **gen_params}
+                        mu, logvar, y, enc_s = self.encode_apply(
+                            params_full, bn_state, d_in, t_in, True
+                        )
+                        eps = jax.random.normal(k_eps, mu.shape)
+                        z = eps * jnp.exp(logvar / 2) + mu
+                        d_out, t_out, dec_s = self.decode_apply(
+                            params_full, bn_state, z, y, True
+                        )
+                        rec_loss, ce, sse = self.calc_loss(d_in, d_out, t_in, t_out)
+                        adv_z = self._bce(self._disc(params["disc_z"], z), ones)
+                        adv_y = self._bce(self._disc(params["disc_y"], y), ones)
+                        ed = (
+                            (1 - self.sl) * rec_loss
+                            + (self.sl * self.slr) * adv_z
+                            + (self.sl * (1 - self.slr)) * adv_y
+                        )
+                        return ed, ({"enc": enc_s, "dec": dec_s}, rec_loss, ce, sse)
+
+                    enc_p, dec_p = split_params(params)
+                    gen_params = {**enc_p, **dec_p}
+                    (ed_loss, (bn_state, rec_loss, ce, sse)), grads = (
+                        jax.value_and_grad(gen_loss, has_aux=True)(gen_params, bn_state)
                     )
+                    enc_grads = {k: grads[k] for k in enc_keys}
+                    dec_grads = {k: grads[k] for k in dec_keys}
+                    upd_e, st_e = opt_e.update(enc_grads, st_e, enc_p)
+                    upd_d, st_d = opt_d.update(dec_grads, st_d, dec_p)
+                    params = {
+                        **params,
+                        **optax.apply_updates(enc_p, upd_e),
+                        **optax.apply_updates(dec_p, upd_d),
+                    }
 
-                dz, grads_z = jax.value_and_grad(dz_loss)(params["disc_z"])
-                upd_z, st_dz = opt_dz.update(grads_z, st_dz, params["disc_z"])
-                params = {
-                    **params,
-                    "disc_z": optax.apply_updates(params["disc_z"], upd_z),
-                }
-
-                # ---- discriminator y phase
-                def dy_loss(disc_y):
-                    return 0.5 * (
-                        self._bce(self._disc(disc_y, y_prior), ones)
-                        + self._bce(self._disc(disc_y, y_latent), zeros_t)
+                    # ---- discriminator z phase (fresh encode, grads only to disc)
+                    mu, logvar, y_lat, bn_enc_s = self.encode_apply(
+                        params, bn_state, d_in, t_in, True
                     )
+                    bn_state = {"enc": bn_enc_s, "dec": bn_state["dec"]}
+                    eps2 = jax.random.normal(k_eps2, mu.shape)
+                    z_latent = jax.lax.stop_gradient(eps2 * jnp.exp(logvar / 2) + mu)
+                    y_latent = jax.lax.stop_gradient(y_lat)
+                    z_prior = jax.random.normal(k_prior_z, (bs, self.ld))
+                    y_prior = self._gumbel_softmax_prior(k_prior_y, bs, temperature)
 
-                dy, grads_y = jax.value_and_grad(dy_loss)(params["disc_y"])
-                upd_y, st_dy = opt_dy.update(grads_y, st_dy, params["disc_y"])
-                params = {
-                    **params,
-                    "disc_y": optax.apply_updates(params["disc_y"], upd_y),
-                }
+                    def dz_loss(disc_z):
+                        return 0.5 * (
+                            self._bce(self._disc(disc_z, z_prior), ones)
+                            + self._bce(self._disc(disc_z, z_latent), zeros_t)
+                        )
 
-                metrics = jnp.stack([ed_loss, rec_loss, ce, sse, dz, dy])
-                return (params, bn_state, (st_e, st_d, st_dz, st_dy), key), metrics
+                    dz, grads_z = jax.value_and_grad(dz_loss)(params["disc_z"])
+                    upd_z, st_dz = opt_dz.update(grads_z, st_dz, params["disc_z"])
+                    params = {
+                        **params,
+                        "disc_z": optax.apply_updates(params["disc_z"], upd_z),
+                    }
 
-            (params, bn_state, opts, _), metrics = jax.lax.scan(
-                step, (params, bn_state, opts, scan_key), jnp.arange(nb)
+                    # ---- discriminator y phase
+                    def dy_loss(disc_y):
+                        return 0.5 * (
+                            self._bce(self._disc(disc_y, y_prior), ones)
+                            + self._bce(self._disc(disc_y, y_latent), zeros_t)
+                        )
+
+                    dy, grads_y = jax.value_and_grad(dy_loss)(params["disc_y"])
+                    upd_y, st_dy = opt_dy.update(grads_y, st_dy, params["disc_y"])
+                    params = {
+                        **params,
+                        "disc_y": optax.apply_updates(params["disc_y"], upd_y),
+                    }
+
+                    metrics = jnp.stack([ed_loss, rec_loss, ce, sse, dz, dy])
+                    return (params, bn_state, (st_e, st_d, st_dz, st_dy), key), metrics
+
+                return step
+
+            (train_state, rng), metrics = jax.lax.scan(
+                one_epoch, (train_state, rng), None, length=nepochs
             )
-            return (params, bn_state, opts), jnp.mean(metrics, axis=0)
+            return train_state, rng, metrics  # (nepochs, 6)
 
         data = (jnp.asarray(dataset.depths), jnp.asarray(dataset.tnf))
         enc_p, dec_p = split_params(self.params)
@@ -379,17 +399,20 @@ class AAE:
             )
 
         drain = MetricsDrain(emit)
-        for epoch in range(nepochs):
+        rng = self.rng
+        for epoch, seg_len in segment_plan(nepochs, batchsteps_list):
             bs = batchsize_at_epoch(batchsize, batchsteps_list, epoch)
             nb = num_batches(dataset.n_obs, bs)
             actual_bs = min(bs, dataset.n_obs)
-            self.rng, key = jax.random.split(self.rng)
-            train_state, m = epoch_fn(
-                train_state, data, key, bs=actual_bs, nb=nb, n_obs=dataset.n_obs
+            train_state, rng, m = epoch_fn(
+                train_state, data, rng, bs=actual_bs, nb=nb,
+                n_obs=dataset.n_obs, nepochs=seg_len,
             )
-            drain.push(epoch, m, actual_bs)
+            for i in range(seg_len):
+                drain.push(epoch + i, m[i], actual_bs)
 
         drain.flush()
+        self.rng = rng
         params, bn_state, _ = train_state
         self.params = jax.tree.map(np.asarray, params)
         self.bn_state = jax.tree.map(np.asarray, bn_state)

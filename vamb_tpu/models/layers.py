@@ -120,6 +120,31 @@ def leaky_relu(x: jax.Array, negative_slope: float = 0.01) -> jax.Array:
     return jnp.where(x >= 0, x, negative_slope * x)
 
 
+def dropout_threshold(rate: float) -> tuple[int, float]:
+    "Quantized byte threshold and keep-scale shared by the dropout variants."
+    t = min(255, int(round(rate * 256.0)))
+    return t, 1.0 / (1.0 - t / 256.0)
+
+
+def dropout_from_bits(bits: jax.Array, x: jax.Array, rate: float) -> jax.Array:
+    """Apply byte-mask dropout with caller-supplied random bytes.
+
+    `bits` is a uint8 array broadcastable to x's shape (one byte per
+    element). Same quantized-threshold semantics as `dropout`; used by the
+    per-epoch mask-bank path (models/vae.py), where one bank of bytes is
+    drawn per epoch and reused across that epoch's steps — each contig
+    appears at most once per epoch (drop_last shuffle), so every contig
+    still receives exactly one mask per epoch; only contigs sharing a
+    batch POSITION share masks within an epoch, and positions reshuffle
+    every epoch. Cuts threefry generation ~nbatches-fold, which dominated
+    the training step (~3.6 ms of a 14.5 ms epoch at 100k contigs).
+    """
+    if rate == 0.0:
+        return x
+    t, keep_scale = dropout_threshold(rate)
+    return jnp.where(bits >= jnp.uint8(t), x * keep_scale, 0.0)
+
+
 def dropout(key: jax.Array, x: jax.Array, rate: float) -> jax.Array:
     """Inverted dropout. rate==0 is the identity.
 
@@ -137,8 +162,7 @@ def dropout(key: jax.Array, x: jax.Array, rate: float) -> jax.Array:
     """
     if rate == 0.0:
         return x
-    t = min(255, int(round(rate * 256.0)))
-    keep_scale = 1.0 / (1.0 - t / 256.0)
+    t, keep_scale = dropout_threshold(rate)
     ncols = x.shape[-1]
     nwords = (ncols + 3) // 4
     words = jax.random.bits(key, (*x.shape[:-1], nwords), jnp.uint32)

@@ -19,7 +19,7 @@ from ..optim import dadapt_adam
 from ..utils.checkpoint import load_meta, load_pytree, save_pytree
 from . import hier, layers
 from .dataset import VAEDataset, batchsize_at_epoch, num_batches
-from .training import MetricsDrain, make_scan_epoch_fn, validate_batchsteps
+from .training import MetricsDrain, make_scan_epoch_fn, segment_plan, validate_batchsteps
 
 DEFAULT_HIER_LOSS = "flat_softmax"
 _PREDICT_CHUNK = 1 << 16
@@ -230,18 +230,20 @@ class Taxometer:
             )
 
         drain = MetricsDrain(emit)
-        for epoch in range(nepochs):
+        rng = self.rng
+        for epoch, seg_len in segment_plan(nepochs, batchsteps_list):
             bs = batchsize_at_epoch(batchsize, batchsteps_list, epoch)
             nb = num_batches(dataset.n_obs, bs)
             actual_bs = min(bs, dataset.n_obs)
-            self.rng, key = jax.random.split(self.rng)
-            train_state, metrics = epoch_fn(
-                train_state, data, key, batchsize=actual_bs, nbatches=nb,
-                n_obs=dataset.n_obs,
+            train_state, rng, metrics = epoch_fn(
+                train_state, data, rng, batchsize=actual_bs, nbatches=nb,
+                n_obs=dataset.n_obs, nepochs=seg_len,
             )
-            drain.push(epoch, metrics, actual_bs)
+            for i in range(seg_len):
+                drain.push(epoch + i, metrics[i], actual_bs)
 
         drain.flush()
+        self.rng = rng
         params, bn_state, _ = train_state
         self.params = jax.tree.map(np.asarray, params)
         self.bn_state = jax.tree.map(np.asarray, bn_state)

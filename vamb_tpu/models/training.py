@@ -42,51 +42,80 @@ def make_scan_epoch_fn(
 
     @partial(
         jax.jit,
-        static_argnames=("batchsize", "nbatches", "n_obs"),
+        static_argnames=("batchsize", "nbatches", "n_obs", "nepochs"),
         donate_argnums=(0,),
     )
-    def epoch_fn(train_state, data, key, batchsize, nbatches, n_obs=None):
+    def epoch_fn(train_state, data, rng, batchsize, nbatches, n_obs=None, nepochs=1):
+        # Runs `nepochs` epochs in ONE dispatch (outer scan). The per-epoch
+        # key chain (`rng, key = split(rng)`) is the exact split sequence
+        # the trainmodel loops used to run on the host, so the random
+        # stream is bit-identical to nepochs single-epoch dispatches.
         # n_obs: true row count; data may be zero-padded for even sharding,
         # and the permutation must never address padding rows.
         n = data[0].shape[0] if n_obs is None else n_obs
-        perm_key, scan_key = jax.random.split(key)
-        perm = jax.random.permutation(perm_key, n)
-        idx = perm[: nbatches * batchsize]
-        if batch_sharding is None:
-            # one epoch-wide gather, contiguous slices per step (see
-            # models/vae.py epoch_fn: per-step row gathers dominate)
-            shuf = tuple(a[idx] for a in data)
 
-            def get_batch(i):
-                return tuple(
-                    jax.lax.dynamic_slice_in_dim(a, i * batchsize, batchsize)
-                    for a in shuf
-                )
-        else:
-            # sharded: per-step gathers keep per-device memory and
-            # per-step collectives batch-sized (see models/vae.py)
-            idx2 = idx.reshape(nbatches, batchsize)
+        def one_epoch(carry, _):
+            train_state, rng = carry
+            rng, key = jax.random.split(rng)
+            perm_key, scan_key = jax.random.split(key)
+            perm = jax.random.permutation(perm_key, n)
+            idx = perm[: nbatches * batchsize]
+            if batch_sharding is None:
+                # one epoch-wide gather, contiguous slices per step (see
+                # models/vae.py epoch_fn: per-step row gathers dominate)
+                shuf = tuple(a[idx] for a in data)
 
-            def get_batch(i):
-                batch_idx = jax.lax.dynamic_index_in_dim(idx2, i, keepdims=False)
-                return tuple(
-                    jax.lax.with_sharding_constraint(a[batch_idx], batch_sharding)
-                    for a in data
-                )
+                def get_batch(i):
+                    return tuple(
+                        jax.lax.dynamic_slice_in_dim(a, i * batchsize, batchsize)
+                        for a in shuf
+                    )
+            else:
+                # sharded: per-step gathers keep per-device memory and
+                # per-step collectives batch-sized (see models/vae.py)
+                idx2 = idx.reshape(nbatches, batchsize)
 
-        def step(carry, i):
-            train_state, key = carry
-            key, sub = jax.random.split(key)
-            batch = get_batch(i)
-            train_state, metrics = grad_and_update(train_state, batch, sub)
-            return (train_state, key), metrics
+                def get_batch(i):
+                    batch_idx = jax.lax.dynamic_index_in_dim(idx2, i, keepdims=False)
+                    return tuple(
+                        jax.lax.with_sharding_constraint(a[batch_idx], batch_sharding)
+                        for a in data
+                    )
 
-        (train_state, _), metrics = jax.lax.scan(
-            step, (train_state, scan_key), jnp.arange(nbatches)
+            def step(carry, i):
+                train_state, key = carry
+                key, sub = jax.random.split(key)
+                batch = get_batch(i)
+                train_state, metrics = grad_and_update(train_state, batch, sub)
+                return (train_state, key), metrics
+
+            (train_state, _), metrics = jax.lax.scan(
+                step, (train_state, scan_key), jnp.arange(nbatches)
+            )
+            return (train_state, rng), jnp.mean(metrics, axis=0)
+
+        (train_state, rng), metrics = jax.lax.scan(
+            one_epoch, (train_state, rng), None, length=nepochs
         )
-        return train_state, jnp.mean(metrics, axis=0)
+        return train_state, rng, metrics  # metrics: (nepochs, n_metrics)
 
     return epoch_fn
+
+
+def segment_plan(nepochs, batchsteps_list, checkpoint_every=None):
+    """Yield (epoch_start, seg_len) runs of constant batch size.
+
+    Segments are bounded by batch-size doubling steps, optional checkpoint
+    multiples, and the end of training — each segment is dispatched as ONE
+    multi-epoch device program (a 300-epoch default run is 5 dispatches)."""
+    epoch = 0
+    while epoch < nepochs:
+        seg_end = min((s for s in batchsteps_list if s > epoch), default=nepochs)
+        if checkpoint_every:
+            seg_end = min(seg_end, (epoch // checkpoint_every + 1) * checkpoint_every)
+        seg_end = min(seg_end, nepochs)
+        yield epoch, seg_end - epoch
+        epoch = seg_end
 
 
 class MetricsDrain:

@@ -38,7 +38,7 @@ from ..utils import mask_lower_bits
 from ..utils.checkpoint import load_pytree, load_meta, save_pytree
 from . import layers
 from .dataset import VAEDataset, batchsize_at_epoch, encode_chunk_rows, num_batches
-from .training import MetricsDrain
+from .training import MetricsDrain, segment_plan
 
 _ENCODE_CHUNK = 1 << 18  # rows per jitted encode call
 
@@ -144,13 +144,17 @@ class VAE:
         axis_name,
         compute_dtype=None,
         dropout_masks=None,
+        dropout_bits=None,
     ):
         """Shared encoder/decoder stack: Dense → LeakyReLU → Dropout → BatchNorm.
 
         `dropout_masks` (one pre-scaled multiplicative mask per layer)
         replaces the RNG-drawn dropout when given — the injection seam the
         torch-lockstep parity test uses to drive both frameworks with
-        identical randomness (tests/test_parity_vae.py).
+        identical randomness (tests/test_parity_vae.py). `dropout_bits`
+        (one (B, width) uint8 array per layer) applies byte-mask dropout
+        from a pre-drawn bank instead of drawing in-step — the epoch-bank
+        fast path (see layers.dropout_from_bits).
         """
         new_states = []
         for i, (p, s) in enumerate(zip(stack_params, stack_state)):
@@ -158,6 +162,8 @@ class VAE:
             if train:
                 if dropout_masks is not None:
                     x = x * dropout_masks[i]
+                elif dropout_bits is not None:
+                    x = layers.dropout_from_bits(dropout_bits[i], x, self.dropout)
                 else:
                     x = layers.dropout(jax.random.fold_in(key, i), x, self.dropout)
                 x, s = layers.batchnorm_train(p["bn"], s, x, axis_name=axis_name)
@@ -178,6 +184,7 @@ class VAE:
         key: Optional[jax.Array] = None,
         axis_name: Optional[str] = None,
         inject: Optional[dict] = None,
+        dropout_bank: Optional[dict] = None,
     ):
         """Full forward pass.
 
@@ -192,6 +199,11 @@ class VAE:
         "dec_masks": per-layer pre-scaled dropout masks}. This is the seam
         the torch-lockstep parity test uses to run both frameworks on an
         identical random stream (tests/test_parity_vae.py).
+
+        `dropout_bank` (train only) supplies pre-drawn dropout bytes:
+        {"enc"/"dec": list of (B, width) uint8 per layer}. The training
+        epoch draws one bank per epoch and reuses it across that epoch's
+        steps (layers.dropout_from_bits documents why that is sound).
         """
         compute_dtype = self._compute_dtype if train else None
         x = jnp.concatenate((depths, tnf, abundance), axis=1)
@@ -203,6 +215,7 @@ class VAE:
             params["enc"], bn_state["enc"], x, train, dkey1, axis_name,
             compute_dtype,
             dropout_masks=None if inject is None else inject["enc_masks"],
+            dropout_bits=None if dropout_bank is None else dropout_bank["enc"],
         )
         # mu in f32 even under bf16 compute: the KLD and the emitted latents
         # read it, and the (B, nlatent) head is a trivial share of the FLOPs.
@@ -216,6 +229,7 @@ class VAE:
             params["dec"], bn_state["dec"], latent, train, dkey2, axis_name,
             compute_dtype,
             dropout_masks=None if inject is None else inject["dec_masks"],
+            dropout_bits=None if dropout_bank is None else dropout_bank["dec"],
         )
         # Output head + loss in f32 (softmax/log stability under bf16).
         rec = layers.dense(params["out"], h.astype(jnp.float32))
@@ -293,11 +307,11 @@ class VAE:
         else:
             batch_sharding = None
 
-        def loss_fn(params, bn_state, batch, key):
+        def loss_fn(params, bn_state, batch, key, bank):
             depths, tnf, ab, weights = batch
             (d_out, t_out, a_out, mu), new_state = self.apply(
                 params, bn_state, depths, tnf, ab,
-                train=True, key=key, axis_name=axis_name,
+                train=True, key=key, axis_name=axis_name, dropout_bank=bank,
             )
             loss, w_ab, w_ce, w_sse, w_kld = self.calc_loss(
                 depths, d_out, tnf, t_out, ab, a_out, mu, weights
@@ -306,65 +320,121 @@ class VAE:
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+        def draw_dropout_bank(bank_key, batchsize):
+            """One epoch's dropout bytes for every layer, in a single draw.
+
+            Reused across the epoch's steps — each contig appears at most
+            once per epoch, so each still gets one fresh mask per epoch
+            (layers.dropout_from_bits). Drawing per step made threefry
+            generation the single largest non-matmul cost of training.
+            Set VAMB_TPU_DROPOUT_MODE=step to restore per-step draws
+            (quality A/B switch; bin quality measured equivalent, see
+            bench.py / CHANGELOG)."""
+            if self.dropout == 0.0:
+                return None
+            import os
+
+            if os.environ.get("VAMB_TPU_DROPOUT_MODE") == "step":
+                return None
+            widths = self.nhiddens + self.nhiddens[::-1]
+            total = sum(widths)
+            nwords = (total + 3) // 4
+            words = jax.random.bits(bank_key, (batchsize, nwords), jnp.uint32)
+            bits = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(
+                batchsize, nwords * 4
+            )
+            n_enc = len(self.nhiddens)
+            slices, off = [], 0
+            for w in widths:
+                slices.append(bits[:, off : off + w])
+                off += w
+            return {"enc": slices[:n_enc], "dec": slices[n_enc:]}
+
         @partial(
             jax.jit,
-            static_argnames=("batchsize", "nbatches", "n_obs"),
+            static_argnames=("batchsize", "nbatches", "n_obs", "nepochs"),
             donate_argnums=(0, 1, 2),
         )
         def epoch_fn(
-            params, bn_state, opt_state, data, key, batchsize, nbatches, n_obs=None
+            params, bn_state, opt_state, data, rng,
+            batchsize, nbatches, n_obs=None, nepochs=1,
         ):
+            """Run `nepochs` epochs in ONE dispatch (outer scan over epochs).
+
+            The per-epoch key chain (`rng, key = split(rng)`) is the exact
+            split sequence trainmodel used to run on the host, so the random
+            stream — and therefore every batch, dropout mask and latent
+            draw — is bit-identical whether a segment is dispatched as one
+            multi-epoch program or as nepochs single-epoch calls. Batching
+            epochs removes the per-epoch host dispatch + metric sync, which
+            dominated short epochs on the tunneled TPU platform.
+            """
             # data may be zero-padded for even sharding; never gather padding
             n = data[0].shape[0] if n_obs is None else n_obs
-            perm_key, scan_key = jax.random.split(key)
-            perm = jax.random.permutation(perm_key, n)
-            idx = perm[: nbatches * batchsize]
-            if batch_sharding is None:
-                # ONE epoch-wide gather into shuffled buffers, contiguous
-                # slices per step: a per-step random-row gather was the
-                # single most expensive device op of the training step
-                # (2.5 ms/epoch of 11.6 at 100k, from device traces) —
-                # same batches either way, row gathers are just
-                # DMA-hostile at batch granularity.
-                shuf = tuple(a[idx] for a in data)
 
-                def get_batch(i):
-                    return tuple(
-                        jax.lax.dynamic_slice_in_dim(a, i * batchsize, batchsize)
-                        for a in shuf
-                    )
-            else:
-                # Sharded: gather per step. The epoch-wide gather would
-                # make GSPMD all-gather the row-sharded dataset onto every
-                # device (dataset-sized memory per device); per-step
-                # gathers keep per-device memory and per-step collectives
-                # batch-sized (asserted by the HLO inventory test).
-                idx2 = idx.reshape(nbatches, batchsize)
+            def one_epoch(carry, _):
+                params, bn_state, opt_state, rng = carry
+                rng, key = jax.random.split(rng)
+                perm_key, scan_key, bank_key = jax.random.split(key, 3)
+                bank = draw_dropout_bank(bank_key, batchsize)
+                perm = jax.random.permutation(perm_key, n)
+                idx = perm[: nbatches * batchsize]
+                if batch_sharding is None:
+                    # ONE epoch-wide gather into shuffled buffers, contiguous
+                    # slices per step: a per-step random-row gather was the
+                    # single most expensive device op of the training step
+                    # (2.5 ms/epoch of 11.6 at 100k, from device traces) —
+                    # same batches either way, row gathers are just
+                    # DMA-hostile at batch granularity.
+                    shuf = tuple(a[idx] for a in data)
 
-                def get_batch(i):
-                    batch_idx = jax.lax.dynamic_index_in_dim(
-                        idx2, i, keepdims=False
-                    )
-                    return tuple(
-                        jax.lax.with_sharding_constraint(
-                            a[batch_idx], batch_sharding
+                    def get_batch(i):
+                        return tuple(
+                            jax.lax.dynamic_slice_in_dim(a, i * batchsize, batchsize)
+                            for a in shuf
                         )
-                        for a in data
+                else:
+                    # Sharded: gather per step. The epoch-wide gather would
+                    # make GSPMD all-gather the row-sharded dataset onto every
+                    # device (dataset-sized memory per device); per-step
+                    # gathers keep per-device memory and per-step collectives
+                    # batch-sized (asserted by the HLO inventory test).
+                    idx2 = idx.reshape(nbatches, batchsize)
+
+                    def get_batch(i):
+                        batch_idx = jax.lax.dynamic_index_in_dim(
+                            idx2, i, keepdims=False
+                        )
+                        return tuple(
+                            jax.lax.with_sharding_constraint(
+                                a[batch_idx], batch_sharding
+                            )
+                            for a in data
+                        )
+
+                def step(carry, i):
+                    params, bn_state, opt_state, key = carry
+                    key, sub = jax.random.split(key)
+                    batch = get_batch(i)
+                    (_, (bn_state, comps)), grads = grad_fn(
+                        params, bn_state, batch, sub, bank
                     )
+                    updates, opt_state = optimizer.update(grads, opt_state, params)
+                    params = jax.tree.map(lambda p, u: p + u, params, updates)
+                    return (params, bn_state, opt_state, key), comps
 
-            def step(carry, i):
-                params, bn_state, opt_state, key = carry
-                key, sub = jax.random.split(key)
-                batch = get_batch(i)
-                (_, (bn_state, comps)), grads = grad_fn(params, bn_state, batch, sub)
-                updates, opt_state = optimizer.update(grads, opt_state, params)
-                params = jax.tree.map(lambda p, u: p + u, params, updates)
-                return (params, bn_state, opt_state, key), comps
+                (params, bn_state, opt_state, _), comps = jax.lax.scan(
+                    step,
+                    (params, bn_state, opt_state, scan_key),
+                    jnp.arange(nbatches),
+                )
+                return (params, bn_state, opt_state, rng), jnp.mean(comps, axis=0)
 
-            (params, bn_state, opt_state, _), comps = jax.lax.scan(
-                step, (params, bn_state, opt_state, scan_key), jnp.arange(nbatches)
+            (params, bn_state, opt_state, rng), comps = jax.lax.scan(
+                one_epoch, (params, bn_state, opt_state, rng), None, length=nepochs
             )
-            return params, bn_state, opt_state, jnp.mean(comps, axis=0)
+            # comps: (nepochs, 5) per-epoch means
+            return params, bn_state, opt_state, rng, comps
 
         return epoch_fn
 
@@ -454,24 +524,33 @@ class VAE:
                 )
             )
 
+        # Epochs are dispatched in SEGMENTS — one jitted multi-epoch program
+        # per run of constant batch size (bounded by checkpoint_every) — so
+        # a 300-epoch default run is 5 device dispatches instead of 300.
+        # The random stream is bit-identical to per-epoch dispatch (the
+        # epoch key chain moved inside the program unchanged).
         drain = MetricsDrain(emit)
-        for epoch in range(nepochs):
+        rng = self.rng
+        do_checkpoint = (
+            checkpoint_every is not None
+            and modelfile is not None
+            and isinstance(modelfile, (str, Path))
+        )
+        for epoch, seg_len in segment_plan(
+            nepochs, batchsteps_list, checkpoint_every if do_checkpoint else None
+        ):
             bs = batchsize_at_epoch(batchsize, batchsteps_list, epoch)
             nb = num_batches(dataset.n_obs, bs)
             actual_bs = min(bs, dataset.n_obs)
-            self.rng, key = jax.random.split(self.rng)
-            params, bn_state, opt_state, comps = epoch_fn(
-                params, bn_state, opt_state, data, key,
+            params, bn_state, opt_state, rng, comps = epoch_fn(
+                params, bn_state, opt_state, data, rng,
                 batchsize=actual_bs, nbatches=nb, n_obs=dataset.n_obs,
+                nepochs=seg_len,
             )
-            drain.push(epoch, comps, actual_bs)
-            if (
-                checkpoint_every is not None
-                and modelfile is not None
-                and isinstance(modelfile, (str, Path))
-                and (epoch + 1) % checkpoint_every == 0
-                and epoch + 1 < nepochs
-            ):
+            for i in range(seg_len):
+                drain.push(epoch + i, comps[i], actual_bs)
+            epoch = epoch + seg_len
+            if do_checkpoint and epoch % checkpoint_every == 0 and epoch < nepochs:
                 drain.flush()  # the param fetch below synchronizes anyway
                 snapshot_params, snapshot_bn = self.params, self.bn_state
                 self.params = jax.tree.map(np.asarray, params)
@@ -482,6 +561,7 @@ class VAE:
                     self.params, self.bn_state = snapshot_params, snapshot_bn
 
         drain.flush()
+        self.rng = rng
         self.params = jax.tree.map(np.asarray, params)
         self.bn_state = jax.tree.map(np.asarray, bn_state)
 

@@ -37,7 +37,7 @@ from ..utils import mask_lower_bits
 from ..utils.checkpoint import load_meta, load_pytree, save_pytree
 from . import hier, layers
 from .dataset import VAEDataset, batchsize_at_epoch, encode_chunk_rows, num_batches
-from .training import MetricsDrain, validate_batchsteps
+from .training import MetricsDrain, segment_plan, validate_batchsteps
 
 _ENCODE_CHUNK = 1 << 16
 
@@ -426,65 +426,78 @@ class VAEVAE:
         from functools import partial as _partial
 
         @_partial(
-            jax.jit, static_argnames=("bs", "nb", "n_obs"), donate_argnums=(0,)
+            jax.jit,
+            static_argnames=("bs", "nb", "n_obs", "nepochs"),
+            donate_argnums=(0,),
         )
-        def epoch_fn(train_state, data, key, bs, nb, n_obs=None):
-            params, bn_state, opt_state = train_state
+        def epoch_fn(train_state, data, rng, bs, nb, n_obs=None, nepochs=1):
+            # `nepochs` epochs per dispatch; per-epoch key chain identical
+            # to the former host loop (see models/training.py epoch_fn).
             depths, tnf, ab, weights, targets_i = data
             n = depths.shape[0] if n_obs is None else n_obs
-            k_sup, k_unsup, scan_key = jax.random.split(key, 3)
-            perm_sup = jax.random.permutation(k_sup, n)[: nb * bs]
-            perm_uns = jax.random.permutation(k_unsup, n)[: nb * bs]
 
-            if batch_sharding is None:
-                # one epoch-wide gather per stream, contiguous slices per
-                # step (per-step row gathers dominate; see models/vae.py)
-                shuf_s = tuple(a[perm_sup] for a in (depths, tnf, ab, weights, targets_i))
-                shuf_u = tuple(a[perm_uns] for a in (depths, tnf, ab, weights, targets_i))
+            def one_epoch(carry, _):
+                train_state, rng = carry
+                params, bn_state, opt_state = train_state
+                rng, key = jax.random.split(rng)
+                k_sup, k_unsup, scan_key = jax.random.split(key, 3)
+                perm_sup = jax.random.permutation(k_sup, n)[: nb * bs]
+                perm_uns = jax.random.permutation(k_unsup, n)[: nb * bs]
 
-                def gather(shuf, i):
-                    d, t, a, w, tg = (
-                        jax.lax.dynamic_slice_in_dim(x, i * bs, bs) for x in shuf
-                    )
-                    onehot = jax.nn.one_hot(tg, N_l, dtype=jnp.float32)
-                    return (d, t, a, w, onehot)
-            else:
-                # sharded: per-step gathers keep per-device memory and
-                # per-step collectives batch-sized (see models/vae.py)
-                shuf_s = perm_sup.reshape(nb, bs)
-                shuf_u = perm_uns.reshape(nb, bs)
+                if batch_sharding is None:
+                    # one epoch-wide gather per stream, contiguous slices per
+                    # step (per-step row gathers dominate; see models/vae.py)
+                    shuf_s = tuple(a[perm_sup] for a in (depths, tnf, ab, weights, targets_i))
+                    shuf_u = tuple(a[perm_uns] for a in (depths, tnf, ab, weights, targets_i))
 
-                def gather(idx2, i):
-                    idx = jax.lax.dynamic_index_in_dim(idx2, i, keepdims=False)
-                    onehot = jax.nn.one_hot(targets_i[idx], N_l, dtype=jnp.float32)
-                    batch = (depths[idx], tnf[idx], ab[idx], weights[idx], onehot)
-                    return tuple(
-                        jax.lax.with_sharding_constraint(x, batch_sharding)
-                        for x in batch
-                    )
+                    def gather(shuf, i):
+                        d, t, a, w, tg = (
+                            jax.lax.dynamic_slice_in_dim(x, i * bs, bs) for x in shuf
+                        )
+                        onehot = jax.nn.one_hot(tg, N_l, dtype=jnp.float32)
+                        return (d, t, a, w, onehot)
+                else:
+                    # sharded: per-step gathers keep per-device memory and
+                    # per-step collectives batch-sized (see models/vae.py)
+                    shuf_s = perm_sup.reshape(nb, bs)
+                    shuf_u = perm_uns.reshape(nb, bs)
 
-            def step(carry, i):
-                params, bn_state, opt_state, key = carry
-                key, sub = jax.random.split(key)
+                    def gather(idx2, i):
+                        idx = jax.lax.dynamic_index_in_dim(idx2, i, keepdims=False)
+                        onehot = jax.nn.one_hot(targets_i[idx], N_l, dtype=jnp.float32)
+                        batch = (depths[idx], tnf[idx], ab[idx], weights[idx], onehot)
+                        return tuple(
+                            jax.lax.with_sharding_constraint(x, batch_sharding)
+                            for x in batch
+                        )
 
-                def loss_fn(params, bn_state):
-                    total, new_bn, metrics = self._step_losses(
-                        params, bn_state, gather(shuf_s, i), gather(shuf_u, i), sub
-                    )
-                    return total, (new_bn, metrics)
+                def step(carry, i):
+                    params, bn_state, opt_state, key = carry
+                    key, sub = jax.random.split(key)
 
-                (_, (bn_state, metrics)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(params, bn_state)
-                updates, opt_state = optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, bn_state, opt_state, key), metrics
+                    def loss_fn(params, bn_state):
+                        total, new_bn, metrics = self._step_losses(
+                            params, bn_state, gather(shuf_s, i), gather(shuf_u, i), sub
+                        )
+                        return total, (new_bn, metrics)
 
-            (params, bn_state, opt_state, _), metrics = jax.lax.scan(
-                step, (params, bn_state, opt_state, scan_key),
-                jnp.arange(nb),
+                    (_, (bn_state, metrics)), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(params, bn_state)
+                    updates, opt_state = optimizer.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, bn_state, opt_state, key), metrics
+
+                (params, bn_state, opt_state, _), metrics = jax.lax.scan(
+                    step, (params, bn_state, opt_state, scan_key),
+                    jnp.arange(nb),
+                )
+                return ((params, bn_state, opt_state), rng), jnp.mean(metrics, axis=0)
+
+            (train_state, rng), metrics = jax.lax.scan(
+                one_epoch, (train_state, rng), None, length=nepochs
             )
-            return (params, bn_state, opt_state), jnp.mean(metrics, axis=0)
+            return train_state, rng, metrics  # (nepochs, n_metrics)
 
         data = (
             jnp.asarray(dataset.depths),
@@ -513,17 +526,20 @@ class VAEVAE:
             )
 
         drain = MetricsDrain(emit)
-        for epoch in range(nepochs):
+        rng = self.rng
+        for epoch, seg_len in segment_plan(nepochs, batchsteps_list):
             bs = batchsize_at_epoch(batchsize, batchsteps_list, epoch)
             nb = num_batches(dataset.n_obs, bs)
             actual_bs = min(bs, dataset.n_obs)
-            self.rng, key = jax.random.split(self.rng)
-            train_state, metrics = epoch_fn(
-                train_state, data, key, bs=actual_bs, nb=nb, n_obs=dataset.n_obs
+            train_state, rng, metrics = epoch_fn(
+                train_state, data, rng, bs=actual_bs, nb=nb,
+                n_obs=dataset.n_obs, nepochs=seg_len,
             )
-            drain.push(epoch, metrics, actual_bs)
+            for i in range(seg_len):
+                drain.push(epoch + i, metrics[i], actual_bs)
 
         drain.flush()
+        self.rng = rng
         params, bn_state, _ = train_state
         self.params = jax.tree.map(np.asarray, params)
         self.bn_state = jax.tree.map(np.asarray, bn_state)
