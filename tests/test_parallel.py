@@ -146,3 +146,102 @@ def test_dp_epoch_hlo_has_no_dataset_sized_collectives():
     data_shardings = comp.input_shardings[0][3]
     for sh in data_shardings:
         assert "dp" in str(sh.spec), sh
+
+
+class TestMeshSubsetWander:
+    """Round-4: the subset-wander fast path (and its speculative attempt
+    lanes) under a sharded mesh. Emission must be identical to the
+    sequential oracle (which has no mesh concept — the mesh engine must
+    therefore be emission-identical to the single-device engine too), and
+    per-attempt ICI traffic must stay Q-sized, never N-sized."""
+
+    def _clumpy(self, n_clusters, per, dim, noise, seed):
+        from .test_parity_cluster import clumpy_latents
+
+        return clumpy_latents(n_clusters, per, dim, noise_frac=noise, seed=seed)
+
+    def _assert_mesh_matches_oracle(self, matrix, lengths, **kwargs):
+        from vamb_tpu.cluster import normalize
+        from .oracle_cluster import SequentialOracle
+
+        matrix = normalize(matrix)
+        mesh = make_mesh(8)
+        eng = list(
+            ClusterGenerator(
+                matrix.copy(), lengths, mesh=mesh, **kwargs
+            )
+        )
+        orc = list(SequentialOracle(matrix.copy(), lengths, **kwargs))
+        assert len(eng) == len(orc), (len(eng), len(orc))
+        for i, (e, o) in enumerate(zip(eng, orc)):
+            assert int(e.medoid) == o.medoid, (i, e.medoid, o.medoid)
+            assert e.kind_str == o.kind, (i, e.kind_str, o.kind)
+            np.testing.assert_array_equal(np.sort(e.members), o.members)
+        all_members = np.concatenate([np.asarray(c.members) for c in eng])
+        np.testing.assert_array_equal(
+            np.sort(all_members), np.arange(len(matrix))
+        )
+
+    def test_mesh_subset_lanes_emission(self):
+        matrix, lengths = self._clumpy(40, 100, 16, 0.1, 3)
+        self._assert_mesh_matches_oracle(
+            matrix, lengths, rng_seed=7, windowsize=60, wander_scope="subset"
+        )
+
+    def test_mesh_subset_rejection_heavy(self):
+        "Uniform latents: lanes mostly reject; pvr feedback crosses shards."
+        rng = np.random.default_rng(5)
+        matrix = rng.standard_normal((2048, 16)).astype(np.float32)
+        lengths = rng.integers(2000, 50_000, 2048)
+        self._assert_mesh_matches_oracle(
+            matrix, lengths, rng_seed=2, windowsize=40, wander_scope="subset"
+        )
+
+    def test_mesh_subset_lanes_off_classic(self):
+        matrix, lengths = self._clumpy(20, 80, 16, 0.15, 9)
+        self._assert_mesh_matches_oracle(
+            matrix, lengths, rng_seed=1, windowsize=60,
+            wander_scope="subset", attempt_batch="off",
+        )
+
+    def test_mesh_subset_no_dataset_sized_collectives(self):
+        """Inventory the compiled mesh subset program's collectives: the
+        ball replication is Q-sized; nothing N-sized may cross the mesh
+        except the classic-fallback candidate top_k (documented — it runs
+        only on ball-overflow/drift attempts)."""
+        import re
+
+        from vamb_tpu.cluster import normalize
+
+        n = 65536
+        rng = np.random.default_rng(0)
+        matrix = normalize(rng.standard_normal((n, 16)).astype(np.float32))
+        lengths = rng.integers(2000, 50_000, n)
+        mesh = make_mesh(8)
+        gen = ClusterGenerator(
+            matrix, lengths, rng_seed=0, wander_scope="subset", mesh=mesh
+        )
+        txt = (
+            gen._emit_batch.lower(
+                gen.matrixT, gen.ranks, gen.lengths, gen._state
+            )
+            .compile()
+            .as_text()
+        )
+        pat = re.compile(
+            r"= (\S+) (all-gather|all-reduce|all-to-all|collective-permute|"
+            r"reduce-scatter)\("
+        )
+        offenders = []
+        for line in txt.splitlines():
+            m = pat.search(line)
+            if not m:
+                continue
+            dims = [
+                int(x) for x in re.findall(r"(\d+)", m.group(1).split("{")[0])
+            ]
+            if dims and max(dims) >= n:
+                if "approx_top_k" in line or "top_k" in line:
+                    continue  # the documented fallback-path exception
+                offenders.append(line.strip()[:160])
+        assert not offenders, offenders

@@ -59,8 +59,12 @@ TPU-first architecture (a re-design, not a port):
   come from exact full-length rows. Emission-pinned against the
   sequential oracle's mirror of the same kernels and quality-pinned
   against the exact full-scope path (bench A/B + wide-cluster CPU test).
-  1.45x full-run wall at 1M on v5e; auto above 2^18 padded points
-  (single-device f32 only); `wander_scope="full"` restores exactness.
+  1.45x full-run wall at 1M on v5e; auto above 2^18 padded points (f32
+  only); `wander_scope="full"` restores exactness. Under a sharded mesh
+  the ball is gathered via one-hot block matmuls (shard-local partials +
+  one Q-sized all-reduce per attempt — never an N-sized collective) and
+  the climb runs replicated on every device; emission is identical to the
+  single-device path (tests/test_parallel.py::TestMeshSubsetWander).
 * **Pallas wander kernels on TPU** (`ops/pallas_cluster.py`): candidate
   densities in one matrix pass with no (C, N) distance matrix in HBM, and
   the medoid's row recomputed each step in one pass — the full-sweep
@@ -434,6 +438,7 @@ def _make_emit_batch(
     use_subset: bool = False,
     subset_q: int = _SUBSET_Q,
     use_lanes: bool = False,
+    repl_constraint=None,
 ):
     """Build the fused device program emitting up to `batch_clusters` clusters.
 
@@ -464,6 +469,31 @@ def _make_emit_batch(
         if distance_dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
+
+    def sharded_at(arr, i):
+        """arr[i] for a column-sharded (N,) array as a masked one-element
+        reduction: a dynamic_slice at a traced index on a sharded dim makes
+        GSPMD all-gather the whole array (N-sized, once per attempt);
+        the masked reduce is a shard-local pass + scalar all-reduce.
+        Single-device keeps the plain dynamic index."""
+        if repl_constraint is None:
+            return arr[i]
+        iota = jnp.arange(arr.shape[0])
+        if arr.dtype == jnp.bool_:
+            return jnp.any((iota == i) & arr)
+        return jnp.sum(jnp.where(iota == i, arr, jnp.zeros((), arr.dtype)))
+
+    def sharded_at_vec(arr, idxs):
+        "arr[idxs] for (N,)-sharded arr and a small replicated index vector."
+        if repl_constraint is None:
+            return arr[idxs]
+        iota = jnp.arange(arr.shape[0])
+        m = iota[None, :] == idxs[:, None]
+        if arr.dtype == jnp.bool_:
+            return jnp.any(m & arr[None, :], axis=1)
+        return jnp.sum(
+            jnp.where(m, arr[None, :], jnp.zeros((), arr.dtype)), axis=1
+        )
 
     def spec_batch(matrixT, seeds):
         """Distance rows for S seeds in one matmul, self-distances zeroed.
@@ -571,19 +601,59 @@ def _make_emit_batch(
             from vamb_tpu.ops.pallas_cluster import gather_blocks
 
             xsT = gather_blocks(matrixT, bids, block=B)
+            w_sub_raw = jnp.take(lengths.reshape(NB, B), bids, axis=0).reshape(-1)
+            kept_sub_raw = jnp.take(kept.reshape(NB, B), bids, axis=0).reshape(-1)
+            d0_sub_raw = jnp.take(d0.reshape(NB, B), bids, axis=0).reshape(-1)
+        elif repl_constraint is not None:
+            # Sharded mesh: a take along the column-sharded block dim makes
+            # GSPMD all-gather the WHOLE (F, N) operand per attempt. A
+            # one-hot (KB, NB) selection matmul instead partitions cleanly
+            # — each shard multiplies its own blocks, one (F, Q)-sized
+            # all-reduce replicates the ball — and is bit-exact (every
+            # output element is a single-term sum). The climb then runs
+            # replicated on every device; per-attempt ICI traffic is
+            # Q-sized, never N-sized (pinned by the collective-inventory
+            # test in tests/test_parallel.py).
+            onehot = (
+                bids[:, None] == jnp.arange(NB, dtype=jnp.int32)[None, :]
+            ).astype(jnp.float32)  # (KB, NB)
+            rc = lambda a: jax.lax.with_sharding_constraint(a, repl_constraint)  # noqa: E731
+            xsT = rc(
+                jnp.einsum(
+                    "fnb,kn->fkb", matrixT.reshape(F, NB, B), onehot,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                ).reshape(F, Q)
+            )
+            gathered = rc(
+                jnp.einsum(
+                    "nbx,kn->kbx",
+                    jnp.stack(
+                        [
+                            lengths.reshape(NB, B),
+                            kept.astype(jnp.float32).reshape(NB, B),
+                            d0.reshape(NB, B),
+                        ],
+                        axis=2,
+                    ),
+                    onehot,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+            )
+            w_sub_raw = gathered[:, :, 0].reshape(-1)
+            kept_sub_raw = gathered[:, :, 1].reshape(-1) > 0.5
+            d0_sub_raw = gathered[:, :, 2].reshape(-1)
         else:
             xsT = jnp.take(
                 matrixT.reshape(F, NB, B), bids, axis=1
             ).reshape(F, Q)
-        w_sub = jnp.where(
-            valid, jnp.take(lengths.reshape(NB, B), bids, axis=0).reshape(-1), 0.0
-        )
-        kept_sub = valid & jnp.take(
-            kept.reshape(NB, B), bids, axis=0
-        ).reshape(-1)
-        d0_sub = jnp.where(
-            valid, jnp.take(d0.reshape(NB, B), bids, axis=0).reshape(-1), jnp.inf
-        )
+            w_sub_raw = jnp.take(lengths.reshape(NB, B), bids, axis=0).reshape(-1)
+            kept_sub_raw = jnp.take(kept.reshape(NB, B), bids, axis=0).reshape(-1)
+            d0_sub_raw = jnp.take(d0.reshape(NB, B), bids, axis=0).reshape(-1)
+        w_sub = jnp.where(valid, w_sub_raw, 0.0)
+        kept_sub = valid & kept_sub_raw
+        d0_sub = jnp.where(valid, d0_sub_raw, jnp.inf)
         seed_slot = (
             jnp.argmax(bids == seed // B).astype(jnp.int32) * B + seed % B
         )  # seed has d0 = 0, so its block is always flagged
@@ -810,11 +880,24 @@ def _make_emit_batch(
         def full_row(m):
             if use_pallas:
                 return row_sweep(matrixT, m)
+            iota = jnp.arange(matrixT.shape[1])
+            if repl_constraint is None:
+                col = matrixT[:, m]
+            else:
+                # one-hot contraction: a dynamic column slice on the
+                # sharded dim would all-gather the whole matrix (see
+                # sharded_at); this is shard-local + an (F,) all-reduce,
+                # bit-exact (single-term sums)
+                col = jnp.einsum(
+                    "fn,n->f", matrixT, (iota == m).astype(matrixT.dtype),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                ).astype(matrixT.dtype)
             d = 0.5 - jnp.einsum(
-                "fn,f->n", matrixT, matrixT[:, m], precision=_prec,
+                "fn,f->n", matrixT, col, precision=_prec,
                 preferred_element_type=jnp.float32,
             )
-            return d.at[m].set(0.0)
+            return jnp.where(iota == m, 0.0, d)
 
         d_init = jax.lax.cond(
             need_full & (medoid != seed),
@@ -980,7 +1063,7 @@ def _make_emit_batch(
                 return (
                     (jnp.arange(_SPEC_SEEDS) >= st.spec_next)
                     & (seeds_c >= 0)
-                    & st.kept[safe]
+                    & sharded_at_vec(st.kept, safe)
                 )
 
             def refill(st):
@@ -997,7 +1080,7 @@ def _make_emit_batch(
             )
             slot = jnp.argmax(alive_slots(state)).astype(jnp.int32)
             seed = state.spec_seeds[slot]
-            seed_rank = ranks[seed]
+            seed_rank = sharded_at(ranks, seed)
             # read the slot's row as a one-hot masked sum: a dynamic slice
             # along the sublane axis of the (S, N) cache costs a full
             # shuffle pass (~1 ms at 1M); the masked sum streams the cache
@@ -1077,7 +1160,7 @@ def _make_emit_batch(
                         & (s_arr[None, :] >= slot_start),
                         axis=1,
                     )
-                    alive = (seeds >= 0) & state.kept[safe_seed] & ~is_dup
+                    alive = (seeds >= 0) & sharded_at_vec(state.kept, safe_seed) & ~is_dup
                     # slot lets the walk continue: emit (alive loner) or
                     # skip (dead); an alive non-loner stops it
                     ok = jnp.where(in_range, jnp.where(alive, flags, True), True)
@@ -1114,7 +1197,7 @@ def _make_emit_batch(
                         next_cid=state.next_cid + count,
                         order_pos=jnp.where(
                             any_emit,
-                            ranks[safe_seed[last_slot]] + 1,
+                            sharded_at(ranks, safe_seed[last_slot]) + 1,
                             state.order_pos,
                         ),
                         key=new_key,
@@ -1197,7 +1280,7 @@ def _make_emit_batch(
                 is_fallback = (~is_loner) & (~found) & (state.pvr > 0.55)
                 is_reject = (~is_loner) & (~found) & (state.pvr <= 0.55)
 
-                sel_loner = jnp.zeros(N, bool).at[medoid].set(True) & state.kept
+                sel_loner = (jnp.arange(N) == medoid) & state.kept
                 radius = jnp.where(
                     is_normal, thr, jnp.where(is_fallback, _DEFAULT_RADIUS, jnp.nan)
                 )
@@ -1303,7 +1386,7 @@ def _make_emit_batch(
                         jnp.any(
                             (s_arr >= state.spec_next)
                             & (seeds >= 0)
-                            & state.kept[safe]
+                            & sharded_at_vec(state.kept, safe)
                         )
                         & (recs.n_emitted < K)
                         & (state.n_remaining > 0)
@@ -1316,8 +1399,9 @@ def _make_emit_batch(
                     alive = (
                         (s_arr >= state.spec_next)
                         & (seeds >= 0)
-                        & state.kept[safe]
+                        & sharded_at_vec(state.kept, safe)
                     )
+                    ranks_at = sharded_at_vec(ranks, safe)
 
                     # chain links: one split per processed attempt
                     def chain(k, _):
@@ -1449,7 +1533,7 @@ def _make_emit_batch(
                         n_em = n_em + emit_s.astype(jnp.int32)
                         n_rem = n_rem - jnp.where(emit_s, sel_counts[s], 0)
                         op_here = jnp.where(
-                            can, ranks[safe[s]] + 1, order_pos_r
+                            can, ranks_at[s] + 1, order_pos_r
                         )
                         do_upd = can & (
                             is_reject_l[s]
@@ -1785,22 +1869,16 @@ class ClusterGenerator:
             and maxsteps <= 32  # the candidate kernel's row-padding limit
         )
         # Neighborhood-subset wander (see _make_emit_batch): the dominant
-        # large-N fast path on any backend; sharded meshes keep full sweeps
-        # (a subset gather would need a cross-shard all-gather per attempt)
-        # and bf16 distance mode keeps the classic path (subset gathers and
-        # matmuls are written f32).
+        # large-N fast path on any backend, including sharded meshes (the
+        # ball replicates via one-hot block matmuls — Q-sized collectives
+        # only); bf16 distance mode keeps the classic path (subset gathers
+        # and matmuls are written f32).
         if wander_scope not in ("auto", "subset", "full"):
             raise ValueError(
                 f"wander_scope must be auto/subset/full, not {wander_scope}"
             )
-        if wander_scope == "subset":
-            problems = []
-            if mesh is not None:
-                problems.append("does not support a sharded mesh")
-            if ddtype != jnp.float32:
-                problems.append("requires float32 distances")
-            if problems:
-                raise ValueError("wander_scope='subset' " + "; ".join(problems))
+        if wander_scope == "subset" and ddtype != jnp.float32:
+            raise ValueError("wander_scope='subset' requires float32 distances")
         col_tile = _LANES * (mesh.devices.size if mesh is not None else 1)
         if use_pallas:
             # the kernels' (tile//128, 128) output blocks need tile >= 1024;
@@ -1822,7 +1900,6 @@ class ClusterGenerator:
 
         use_subset = wander_scope == "subset" or (
             wander_scope == "auto"
-            and mesh is None
             and ddtype == jnp.float32
             and n_pad >= _SUBSET_AUTO_MIN
         )
@@ -1892,12 +1969,13 @@ class ClusterGenerator:
             spec_next=jnp.int32(0),
         )
         replicate_outputs = None
-        if mesh is not None and len(
-            {d.process_index for d in mesh.devices.flat}
-        ) > 1:
+        repl_constraint = None
+        if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            replicate_outputs = NamedSharding(mesh, P())
+            repl_constraint = NamedSharding(mesh, P())
+            if len({d.process_index for d in mesh.devices.flat}) > 1:
+                replicate_outputs = NamedSharding(mesh, P())
         # per-size program builder: below the subset floor the ball gather
         # covers most of the matrix, so the compaction ladder's smaller
         # programs switch back to full sweeps (Q-sized top_k/gather per
@@ -1924,6 +2002,7 @@ class ClusterGenerator:
                     use_subset=subset_here,
                     subset_q=q,
                     use_lanes=lanes_here,
+                    repl_constraint=repl_constraint,
                 )
                 self._emit_cache[(subset_here, q, lanes_here)] = fn
             return fn
