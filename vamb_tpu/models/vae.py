@@ -416,8 +416,16 @@ class VAE:
                     params, bn_state, opt_state, key = carry
                     key, sub = jax.random.split(key)
                     batch = get_batch(i)
+                    if bank is None:
+                        bank_i = None
+                    else:
+                        # rotate the epoch's dropout bytes per step (uint8
+                        # add, fuses into the threshold compare): distinct
+                        # masks every step from one draw per epoch
+                        rot = (i * 97).astype(jnp.uint8)
+                        bank_i = jax.tree.map(lambda b: b + rot, bank)
                     (_, (bn_state, comps)), grads = grad_fn(
-                        params, bn_state, batch, sub, bank
+                        params, bn_state, batch, sub, bank_i
                     )
                     updates, opt_state = optimizer.update(grads, opt_state, params)
                     params = jax.tree.map(lambda p, u: p + u, params, updates)
