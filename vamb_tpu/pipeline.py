@@ -483,6 +483,43 @@ class BinDefaultOptions:
     output: BinOutputOptions
 
 
+def _spawn_cluster_precompile(
+    n: int, nlatent: int, cluster_options: ClusterOptions, seed: int
+) -> None:
+    """Pre-compile the clustering engine's device programs in a background
+    thread while the VAE trains. The emit program depends only on geometry
+    (padded N, latent width, window/scope options), all known before
+    training, and the engine keeps compiled executables in a process-level
+    cache keyed by that geometry — so a throwaway generator built on dummy
+    data here makes the real post-training construction a cache hit. The
+    engine's own background ladder compiles ride along. Best-effort: any
+    failure just means the real construction compiles inline as before."""
+    import threading
+
+    def work():
+        try:
+            rng = np.random.default_rng(0)
+            dummy = rng.standard_normal((n, nlatent)).astype(np.float32)
+            gen = _cluster.ClusterGenerator(
+                dummy,
+                np.full(n, 2000, dtype=np.int64),
+                windowsize=cluster_options.window_size,
+                minsuccesses=cluster_options.min_successes,
+                destroy=True,
+                normalized=False,
+                rng_seed=seed,
+                mesh=None,
+                distance_dtype=cluster_options.distance_dtype,
+                wander_kernel=cluster_options.wander_kernel,
+                wander_scope=cluster_options.wander_scope,
+            )
+            del gen  # executables persist in the process-level cache
+        except Exception:
+            pass
+
+    threading.Thread(target=work, daemon=True, name="cluster-precompile").start()
+
+
 def run_bin_default(opt: BinDefaultOptions) -> None:
     "The flagship path (reference __main__.py:1451-1488)."
     composition, abundance = load_composition_and_abundance(
@@ -494,6 +531,13 @@ def run_bin_default(opt: BinDefaultOptions) -> None:
         composition.metadata.lengths,
         destroy=True,
     )
+    if default_mesh() is None:
+        # overlap the clustering engine's (large) program compiles with
+        # training; under a mesh the engine keeps inline jit (no AOT cache)
+        _spawn_cluster_precompile(
+            len(composition.metadata.lengths), opt.vae.nlatent,
+            opt.clustering, opt.general.seed,
+        )
     latent = trainvae(opt.vae, opt.general, dataset)
     comp_metadata = composition.metadata
     del composition, abundance, dataset
