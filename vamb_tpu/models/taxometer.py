@@ -18,8 +18,13 @@ import numpy as np
 from ..optim import dadapt_adam
 from ..utils.checkpoint import load_meta, load_pytree, save_pytree
 from . import hier, layers
-from .dataset import VAEDataset, batchsize_at_epoch, num_batches
-from .training import MetricsDrain, make_scan_epoch_fn, segment_plan, validate_batchsteps
+from .dataset import VAEDataset
+from .training import (
+    MetricsDrain,
+    make_scan_epoch_fn,
+    run_segments_aot,
+    validate_batchsteps,
+)
 
 DEFAULT_HIER_LOSS = "flat_softmax"
 _PREDICT_CHUNK = 1 << 16
@@ -230,18 +235,13 @@ class Taxometer:
             )
 
         drain = MetricsDrain(emit)
-        rng = self.rng
-        for epoch, seg_len in segment_plan(nepochs, batchsteps_list):
-            bs = batchsize_at_epoch(batchsize, batchsteps_list, epoch)
-            nb = num_batches(dataset.n_obs, bs)
-            actual_bs = min(bs, dataset.n_obs)
-            train_state, rng, metrics = epoch_fn(
-                train_state, data, rng, batchsize=actual_bs, nbatches=nb,
-                n_obs=dataset.n_obs, nepochs=seg_len,
-            )
-            for i in range(seg_len):
-                drain.push(epoch + i, metrics[i], actual_bs)
-
+        train_state, rng = run_segments_aot(
+            epoch_fn, train_state, data, self.rng,
+            dataset.n_obs, nepochs, batchsize, batchsteps_list, drain.push,
+            lambda bs, nb, seg: dict(
+                batchsize=bs, nbatches=nb, n_obs=dataset.n_obs, nepochs=seg
+            ),
+        )
         drain.flush()
         self.rng = rng
         params, bn_state, _ = train_state

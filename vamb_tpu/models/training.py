@@ -102,6 +102,55 @@ def make_scan_epoch_fn(
     return epoch_fn
 
 
+def run_segments_aot(
+    epoch_fn,
+    train_state,
+    data,
+    rng,
+    n_obs: int,
+    nepochs: int,
+    batchsize: int,
+    batchsteps_list,
+    drain_push,
+    statics,
+):
+    """Run the segment loop with all segment programs AOT-compiled
+    CONCURRENTLY (compiles overlap the first segments' execution; a cold
+    default run's serial compiles dominated end-to-end wall — see
+    models/vae.py). `statics(actual_bs, nb, seg_len)` returns epoch_fn's
+    static kwargs; epoch_fn returns (train_state, rng, metrics) with
+    metrics (seg_len, n_metrics). `drain_push(epoch, metrics_row, bs)` is
+    called once per epoch. Returns (train_state, rng)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .dataset import batchsize_at_epoch, num_batches
+
+    plan = list(segment_plan(nepochs, batchsteps_list))
+
+    def compile_segment(epoch, seg_len):
+        bs = min(batchsize_at_epoch(batchsize, batchsteps_list, epoch), n_obs)
+        nb = num_batches(n_obs, bs)
+        return epoch_fn.lower(
+            train_state, data, rng, **statics(bs, nb, seg_len)
+        ).compile()
+
+    pool = ThreadPoolExecutor(max_workers=min(4, len(plan)))
+    futures = {}
+    for epoch, seg_len in plan:
+        bs = min(batchsize_at_epoch(batchsize, batchsteps_list, epoch), n_obs)
+        if (bs, seg_len) not in futures:
+            futures[(bs, seg_len)] = pool.submit(compile_segment, epoch, seg_len)
+
+    for epoch, seg_len in plan:
+        bs = min(batchsize_at_epoch(batchsize, batchsteps_list, epoch), n_obs)
+        compiled = futures[(bs, seg_len)].result()
+        train_state, rng, metrics = compiled(train_state, data, rng)
+        for i in range(seg_len):
+            drain_push(epoch + i, metrics[i], bs)
+    pool.shutdown(wait=False)
+    return train_state, rng
+
+
 def segment_plan(nepochs, batchsteps_list, checkpoint_every=None):
     """Yield (epoch_start, seg_len) runs of constant batch size.
 

@@ -36,8 +36,8 @@ import optax
 from ..utils import mask_lower_bits
 from ..utils.checkpoint import load_meta, load_pytree, save_pytree
 from . import hier, layers
-from .dataset import VAEDataset, batchsize_at_epoch, encode_chunk_rows, num_batches
-from .training import MetricsDrain, segment_plan, validate_batchsteps
+from .dataset import VAEDataset, encode_chunk_rows
+from .training import MetricsDrain, run_segments_aot, validate_batchsteps
 
 _ENCODE_CHUNK = 1 << 16
 
@@ -526,18 +526,13 @@ class VAEVAE:
             )
 
         drain = MetricsDrain(emit)
-        rng = self.rng
-        for epoch, seg_len in segment_plan(nepochs, batchsteps_list):
-            bs = batchsize_at_epoch(batchsize, batchsteps_list, epoch)
-            nb = num_batches(dataset.n_obs, bs)
-            actual_bs = min(bs, dataset.n_obs)
-            train_state, rng, metrics = epoch_fn(
-                train_state, data, rng, bs=actual_bs, nb=nb,
-                n_obs=dataset.n_obs, nepochs=seg_len,
-            )
-            for i in range(seg_len):
-                drain.push(epoch + i, metrics[i], actual_bs)
-
+        train_state, rng = run_segments_aot(
+            epoch_fn, train_state, data, self.rng,
+            dataset.n_obs, nepochs, batchsize, batchsteps_list, drain.push,
+            lambda bsz, nb, seg: dict(
+                bs=bsz, nb=nb, n_obs=dataset.n_obs, nepochs=seg
+            ),
+        )
         drain.flush()
         self.rng = rng
         params, bn_state, _ = train_state
