@@ -202,7 +202,7 @@ def bench_secondary_models() -> dict:
         )
 
     taxes = [
-        ContigTaxonomy(["root", f"phylum{i % 8}", f"genus{i}"]) for i in range(64)
+        ContigTaxonomy(["Bacteria", f"phylum{i % 8}", f"genus{i}"]) for i in range(64)
     ]
     nodes, ind_nodes, table_parent = hier.make_graph(taxes)
     targets = np.asarray(

@@ -367,3 +367,16 @@ class TestMultilabelAndRandomCut:
         lse = np.log(np.exp(leaf_scores).sum(axis=1))
         expect = float(np.mean(lse - leaf_scores[np.arange(6), labels_leaf]))
         assert abs(loss - expect) < 1e-5
+
+
+def test_make_graph_rejects_rank_named_root():
+    """A rank literally named "root" would make the virtual root its own
+    child and hang the BFS forever (caught live: the bench's taxonomy
+    builder did exactly this); it must raise instead."""
+    import pytest
+
+    from vamb_tpu.models.hier import make_graph
+    from vamb_tpu.taxonomy import ContigTaxonomy
+
+    with pytest.raises(ValueError, match="root"):
+        make_graph([ContigTaxonomy(["root", "Bacteria"])])

@@ -166,6 +166,13 @@ def make_graph(
     for tax in taxes:
         if tax is None or len(tax.ranks) == 0:
             continue
+        if "root" in tax.ranks:
+            # the virtual root would become its own child and the BFS
+            # below would never terminate
+            raise ValueError(
+                'Taxonomy rank named "root" collides with the virtual root '
+                "node; rename the rank"
+            )
         lineage = ["root"] + list(tax.ranks)
         for parent, child in zip(lineage, lineage[1:]):
             if child not in parent_of:
