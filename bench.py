@@ -422,10 +422,13 @@ def bench_noisy_clustering() -> dict:
         # In this regime dists/s is the wrong yardstick (a loner cluster
         # is one matvec of "reference-equivalent work" however fast it is
         # emitted); the baseline for the wall is a per-cluster floor of
-        # 1 ms for the reference's Python-loop-per-cluster engine
-        # (conservative: its GPU mode dispatches ~10 host->device ops +
-        # one full-matrix sweep + a CPU histogram copy per iteration,
-        # cluster.py:342-543) — self-derived, like every baseline here.
+        # 1 ms for the reference's Python-loop-per-cluster engine.
+        # Empirically validated (HEADTOHEAD.md): the actual reference via
+        # tests/refshim on slices of THIS latent matrix measures
+        # 0.92 ms/cluster at n=20k and 1.86 ms/cluster at n=50k (CPU
+        # torch), and its per-cluster cost grows ~linearly with n (one
+        # full-matrix sweep per iteration, cluster.py:342-543), so
+        # 1 ms/cluster at n=1M is conservative by >10x.
         "cluster_noisy_effective_dists_per_s_1M": eff_rate,
         "cluster_noisy_raw_dists_per_s_1M": gen.n_dists / dt,
         "cluster_noisy_ref_floor_wall_s": n_clusters * 1e-3,
