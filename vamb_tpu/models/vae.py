@@ -205,8 +205,31 @@ class VAE:
         epoch draws one bank per epoch and reuses it across that epoch's
         steps (layers.dropout_from_bits documents why that is sound).
         """
-        compute_dtype = self._compute_dtype if train else None
         x = jnp.concatenate((depths, tnf, abundance), axis=1)
+        return self._forward(
+            params, bn_state, x, train=train, key=key, axis_name=axis_name,
+            inject=inject, dropout_bank=dropout_bank,
+        )
+
+    def _forward(
+        self,
+        params,
+        bn_state,
+        x,
+        *,
+        train: bool,
+        key: Optional[jax.Array] = None,
+        axis_name: Optional[str] = None,
+        inject: Optional[dict] = None,
+        dropout_bank: Optional[dict] = None,
+    ):
+        """`apply` on the already-concatenated (B, S+103+1) input row block.
+
+        The training epoch feeds column slices of its packed data buffer
+        here directly — the slices ARE the concatenation `apply` would
+        build, so routing around the concat saves a (B, nfeatures) copy
+        per step without changing a single computed value."""
+        compute_dtype = self._compute_dtype if train else None
         if train and inject is None:
             ekey, dkey1, dkey2 = jax.random.split(key, 3)
         else:
@@ -307,10 +330,20 @@ class VAE:
         else:
             batch_sharding = None
 
+        S, T = self.nsamples, self.ntnf
+
         def loss_fn(params, bn_state, batch, key, bank):
-            depths, tnf, ab, weights = batch
-            (d_out, t_out, a_out, mu), new_state = self.apply(
-                params, bn_state, depths, tnf, ab,
+            # batch: ONE packed (B, S+103+2) row block laid out
+            # [depths | tnf | abundance | weights]. Column slices are
+            # views XLA fuses into their consumers, and the encoder input
+            # is batch[:, :-1] itself — exactly the concatenation `apply`
+            # would rebuild (dataset.py packs in this order).
+            depths = batch[:, :S]
+            tnf = batch[:, S : S + T]
+            ab = batch[:, S + T : S + T + 1]
+            weights = batch[:, S + T + 1 :]
+            (d_out, t_out, a_out, mu), new_state = self._forward(
+                params, bn_state, batch[:, : S + T + 1],
                 train=True, key=key, axis_name=axis_name, dropout_bank=bank,
             )
             loss, w_ab, w_ce, w_sse, w_kld = self.calc_loss(
@@ -371,6 +404,12 @@ class VAE:
             """
             # data may be zero-padded for even sharding; never gather padding
             n = data[0].shape[0] if n_obs is None else n_obs
+            # ONE packed buffer [depths|tnf|abundance|weights]: every epoch
+            # then needs a single row gather (vs four) and every step a
+            # single slice, and the encoder input is a column view of the
+            # batch (loss_fn above). Bit-identical values either way.
+            # Under a mesh the concat preserves the row sharding.
+            packed = jnp.concatenate(data, axis=1)
 
             def one_epoch(carry, _):
                 params, bn_state, opt_state, rng = carry
@@ -380,18 +419,18 @@ class VAE:
                 perm = jax.random.permutation(perm_key, n)
                 idx = perm[: nbatches * batchsize]
                 if batch_sharding is None:
-                    # ONE epoch-wide gather into shuffled buffers, contiguous
-                    # slices per step: a per-step random-row gather was the
-                    # single most expensive device op of the training step
-                    # (2.5 ms/epoch of 11.6 at 100k, from device traces) —
+                    # ONE epoch-wide gather into a shuffled buffer the scan
+                    # consumes as xs (contiguous slices per step): a
+                    # per-step random-row gather was the single most
+                    # expensive device op of the training step (2.5
+                    # ms/epoch of 11.6 at 100k, from device traces) —
                     # same batches either way, row gathers are just
                     # DMA-hostile at batch granularity.
-                    shuf = tuple(a[idx] for a in data)
+                    shuf = packed[idx].reshape(nbatches, batchsize, -1)
 
                     def get_batch(i):
-                        return tuple(
-                            jax.lax.dynamic_slice_in_dim(a, i * batchsize, batchsize)
-                            for a in shuf
+                        return jax.lax.dynamic_index_in_dim(
+                            shuf, i, keepdims=False
                         )
                 else:
                     # Sharded: gather per step. The epoch-wide gather would
@@ -405,11 +444,8 @@ class VAE:
                         batch_idx = jax.lax.dynamic_index_in_dim(
                             idx2, i, keepdims=False
                         )
-                        return tuple(
-                            jax.lax.with_sharding_constraint(
-                                a[batch_idx], batch_sharding
-                            )
-                            for a in data
+                        return jax.lax.with_sharding_constraint(
+                            packed[batch_idx], batch_sharding
                         )
 
                 def step(carry, i):
