@@ -49,7 +49,8 @@ def _epoch_args(epochs) -> list:
 
 
 def run_side(
-    name: str, cmd: list, outdir: str, which, lengths, n_genomes: int
+    name: str, cmd: list, outdir: str, which, lengths, n_genomes: int,
+    base: str = "vae_clusters",
 ) -> dict:
     t0 = time.time()
     proc = subprocess.run(
@@ -61,8 +62,8 @@ def run_side(
         raise RuntimeError(f"{name} run failed (rc={proc.returncode})")
     from bench import _score_bins_vs_truth
 
-    split = _read_bins(os.path.join(outdir, "vae_clusters_split.tsv"))
-    unsplit = _read_bins(os.path.join(outdir, "vae_clusters_unsplit.tsv"))
+    split = _read_bins(os.path.join(outdir, f"{base}_split.tsv"))
+    unsplit = _read_bins(os.path.join(outdir, f"{base}_unsplit.tsv"))
     nc, mq = _score_bins_vs_truth(split, which, lengths, n_genomes)
     return {
         "wall_s": round(wall, 1),
@@ -84,6 +85,12 @@ def main() -> None:
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--skip", choices=["ref", "tpu"], default=None)
+    ap.add_argument(
+        "--mode", choices=["default", "avamb"], default="default",
+        help="bin subcommand to compare; avamb trains the AAE and scores "
+        "the aae_z clustering (the reference's `bin avamb` emits only "
+        "aae_z — its Y-cluster export is dead code, __main__.py:1506-1539)",
+    )
     args = ap.parse_args()
 
     from bench import _write_synthetic_metagenome
@@ -99,6 +106,20 @@ def main() -> None:
             hard=not args.easy,
             seed=args.seed,
         )
+        if args.mode == "avamb":
+            base = "aae_z_clusters"
+            epoch_args = []
+            if args.epochs is not None:
+                steps = [s for s in (25, 50) if s < args.epochs]
+                epoch_args = [
+                    "--e_aae", str(args.epochs), "--q_aae",
+                    *[str(s) for s in steps],
+                ]
+            default_epochs = 70
+        else:
+            base = "vae_clusters"
+            epoch_args = _epoch_args(args.epochs)
+            default_epochs = 300
         results = {
             "dataset": {
                 "contigs": args.contigs,
@@ -106,7 +127,8 @@ def main() -> None:
                 "genomes": args.genomes,
                 "hard": not args.easy,
                 "seed": args.seed,
-                "epochs": args.epochs or 300,
+                "mode": args.mode,
+                "epochs": args.epochs or default_epochs,
             }
         }
         common = ["--fasta", fasta, "--abundance_tsv", tsv, "--seed", "1"]
@@ -117,10 +139,10 @@ def main() -> None:
                 [
                     sys.executable,
                     os.path.join(_REPO, "tests/refshim/run_reference.py"),
-                    "bin", "default", "--outdir", refout,
-                    *common, *_epoch_args(args.epochs),
+                    "bin", args.mode, "--outdir", refout,
+                    *common, *epoch_args,
                 ],
-                refout, which, lengths, args.genomes,
+                refout, which, lengths, args.genomes, base,
             )
         if args.skip != "tpu":
             tpuout = os.path.join(workdir, "tpuout")
@@ -128,10 +150,10 @@ def main() -> None:
                 "vamb_tpu",
                 [
                     sys.executable, "-m", "vamb_tpu",
-                    "bin", "default", "--outdir", tpuout,
-                    *common, *_epoch_args(args.epochs),
+                    "bin", args.mode, "--outdir", tpuout,
+                    *common, *epoch_args,
                 ],
-                tpuout, which, lengths, args.genomes,
+                tpuout, which, lengths, args.genomes, base,
             )
         print(json.dumps(results))
     finally:

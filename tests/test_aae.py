@@ -73,3 +73,44 @@ def test_single_sample_sse_loss():
     lines = []
     aae.trainmodel(ds, nepochs=2, batchsize=64, batchsteps=None, logger=lines.append)
     assert aae.alpha == 0.50
+
+
+def test_bce_saturated_discriminator_finite():
+    """BCE must stay finite with ZERO (not NaN) gradient when the f32
+    sigmoid saturates to exactly 1.0 or 0.0 — the regime a winning
+    discriminator reaches within two epochs on real data. A naive
+    clip(pred, eps, 1-1e-12) does not survive this (1-1e-12 rounds to
+    1.0 in f32); torch.nn.BCELoss's clamped forward/backward gives a
+    finite loss and a zero effective logit gradient, which _bce must
+    reproduce (caught by the avamb head-to-head: all-NaN z latents)."""
+    import jax
+    import jax.numpy as jnp
+
+    for pval, tval in [(1.0, 0.0), (0.0, 1.0), (1.0, 1.0), (0.0, 0.0)]:
+        # gradient w.r.t. the LOGIT, through the saturated sigmoid
+        def loss_from_logit(x):
+            return AAE._bce(jax.nn.sigmoid(x), jnp.full((4, 1), tval))
+
+        logit = jnp.float32(30.0 if pval == 1.0 else -120.0)
+        assert jax.nn.sigmoid(logit) == pval  # truly saturated in f32
+        val, grad = jax.value_and_grad(loss_from_logit)(logit)
+        assert np.isfinite(float(val)), (pval, tval, val)
+        assert np.isfinite(float(grad)), (pval, tval, grad)
+        if pval == tval:
+            assert abs(float(val)) < 1e-6
+        # unsaturated probabilities must still match the analytic BCE
+    p = jnp.asarray([[0.3], [0.9]])
+    t = jnp.asarray([[1.0], [0.0]])
+    expect = float(jnp.mean(-(t * jnp.log(p) + (1 - t) * jnp.log1p(-p))))
+    assert abs(float(AAE._bce(p, t)) - expect) < 1e-7
+
+
+def test_trainmodel_no_nan_under_adversarial_saturation():
+    """A short train on data hard enough for disc_z to win must keep all
+    params/latents finite (regression for the epoch-2 NaN divergence the
+    avamb head-to-head exposed)."""
+    ds = make_ds(n=512, s=5, seed=3)
+    aae = AAE(nsamples=5, seed=1)
+    aae.trainmodel(ds, nepochs=4, batchsize=64, batchsteps=None)
+    for leaf in __import__("jax").tree.leaves(aae.params):
+        assert np.isfinite(np.asarray(leaf)).all()

@@ -163,12 +163,27 @@ class AAE:
 
     @staticmethod
     def _bce(pred, target):
-        "torch.nn.BCELoss: mean binary cross-entropy on probabilities."
-        eps = 1e-12
-        pred = jnp.clip(pred, eps, 1 - eps)
-        return jnp.mean(
-            -(target * jnp.log(pred) + (1 - target) * jnp.log(1 - pred))
-        )
+        """torch.nn.BCELoss: mean binary cross-entropy on probabilities.
+
+        Saturation safety: once a discriminator wins hard, the f32
+        sigmoid returns exactly 1.0 (logits >~ 17) — reached within two
+        epochs on real data — and a naive log(1 - p) is -inf with a NaN
+        gradient. A clip to [eps, 1 - 1e-12] does NOT fix this
+        (1 - 1e-12 rounds to 1.0 in f32). Torch's BCELoss stays finite
+        by clamping log outputs at -100 and hand-clamping the backward
+        denominator; its effective logit gradient at exact saturation is
+        sigmoid'(x) * (p-t)/max(p(1-p), 1e-12) = 0. Clipping pred to the
+        nearest f32 numbers STRICTLY inside (0,1) reproduces both: logs
+        stay finite (log(tiny) ~ -87, within torch's -100 clamp) and the
+        clip boundary zeroes the saturated term's gradient, so the logit
+        gradient is (p - t) unsaturated and 0 at exact saturation —
+        matching torch everywhere except the reported loss VALUE at
+        exact saturation (~87/16.6 here vs torch's clamped 100), which
+        gradients never see."""
+        tiny = jnp.float32(np.finfo(np.float32).tiny)
+        pmax = jnp.float32(1.0 - 2.0 ** -24)
+        p = jnp.clip(pred, tiny, pmax)
+        return jnp.mean(-(target * jnp.log(p) + (1 - target) * jnp.log1p(-p)))
 
     def _gumbel_softmax_prior(self, key, n, temperature):
         "RelaxedOneHotCategorical(T, uniform logits) sample."
