@@ -182,10 +182,13 @@ def bench_secondary_models() -> dict:
     (AAE, VAEVAE, Taxometer) so regressions there show in the per-round
     JSON. A trainmodel call's wall is dominated by per-call trace/lower
     (the XLA build itself lands in the persistent disk cache), so a
-    single timed call measures mostly tracing. Instead each family is
-    timed at TWO epoch counts and the steady-state rate is the
-    incremental slope n*(e2-e1)/(t2-t1); t1 is reported separately as
-    the per-call fixed overhead (trace+lower+cache-load+short train)."""
+    timed call measures mostly tracing — and differencing two epoch
+    counts proved too fragile against the shared TPU pool's throughput
+    swings (negative slopes). Instead run_segments_aot records each
+    segment's pure EXECUTION wall (dispatch -> metrics on host,
+    compiles excluded); one train per family yields the steady rate,
+    and the total call wall minus execution is reported as the fixed
+    per-call overhead (trace+lower+cache-load)."""
     import warnings
 
     from vamb_tpu.models import hier
@@ -196,7 +199,7 @@ def bench_secondary_models() -> dict:
     from vamb_tpu.taxonomy import ContigTaxonomy
 
     n, s = 25_000, 5
-    e1, e2 = 3, 53
+    epochs = 20
     rng = np.random.default_rng(3)
 
     def fresh_ds():
@@ -230,27 +233,24 @@ def bench_secondary_models() -> dict:
                 table_parent=table_parent, seed=1,
             ).trainmodel(ds, targets, nepochs=ne, batchsize=1024, batchsteps=None),
         }
+        from vamb_tpu.models import training as _training
+
         for name, run in runs.items():
             try:
                 ds = fresh_ds()
-                # one warm call per epoch count lands each program's XLA
-                # build in the persistent disk cache
-                run(ds, e1)
-                run(ds, e2)
                 t0 = time.time()
-                run(ds, e1)
-                t_1 = time.time() - t0
-                t0 = time.time()
-                run(ds, e2)
-                t_2 = time.time() - t0
-                rate = n * (e2 - e1) / max(t_2 - t_1, 1e-9)
+                run(ds, epochs)
+                call_wall = time.time() - t0
+                exec_wall = sum(w for _, w in _training.last_segment_walls)
+                done = sum(sl for sl, _ in _training.last_segment_walls)
+                rate = n * done / max(exec_wall, 1e-9)
                 out[f"{name}_train_contigs_per_s_chip"] = rate
-                out[f"{name}_train_fixed_overhead_s"] = t_1
+                out[f"{name}_train_fixed_overhead_s"] = call_wall - exec_wall
                 print(
-                    f"[bench] {name}: epochs {e1}->{e2} x {n} contigs, "
-                    f"{t_1:.2f}s -> {t_2:.2f}s: steady {rate:.3g} "
-                    f"contigs/s/chip, fixed per-call overhead "
-                    f"(trace+lower) {t_1:.2f}s",
+                    f"[bench] {name}: {done} epochs x {n} contigs executed "
+                    f"in {exec_wall:.2f}s -> {rate:.3g} contigs/s/chip; "
+                    f"fixed per-call overhead (trace+lower) "
+                    f"{call_wall - exec_wall:.2f}s",
                     file=sys.stderr,
                 )
             except Exception as e:  # pragma: no cover — fence per model

@@ -120,11 +120,19 @@ def run_segments_aot(
     models/vae.py). `statics(actual_bs, nb, seg_len)` returns epoch_fn's
     static kwargs; epoch_fn returns (train_state, rng, metrics) with
     metrics (seg_len, n_metrics). `drain_push(epoch, metrics_row, bs)` is
-    called once per epoch. Returns (train_state, rng)."""
+    called once per epoch. Returns (train_state, rng).
+
+    Each segment's (seg_len, execution_wall_s) is appended to the
+    module-level `last_segment_walls` list (reset per call) — the wall
+    from dispatch until the segment's metrics landed on host, which
+    excludes trace/lower/compile entirely. bench.py reads this for
+    steady-state training-throughput canaries (a timed trainmodel call
+    measures mostly per-call tracing otherwise)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from .dataset import batchsize_at_epoch, num_batches
 
+    last_segment_walls.clear()
     plan = list(segment_plan(nepochs, batchsteps_list))
 
     def compile_segment(epoch, seg_len):
@@ -144,11 +152,18 @@ def run_segments_aot(
     for epoch, seg_len in plan:
         bs = min(batchsize_at_epoch(batchsize, batchsteps_list, epoch), n_obs)
         compiled = futures[(bs, seg_len)].result()
+        t0 = time.time()
         train_state, rng, metrics = compiled(train_state, data, rng)
+        metrics = np.asarray(metrics)  # blocks until the segment finished
+        last_segment_walls.append((seg_len, time.time() - t0))
         for i in range(seg_len):
             drain_push(epoch + i, metrics[i], bs)
     pool.shutdown(wait=False)
     return train_state, rng
+
+
+#: (seg_len, wall_s) of the most recent run_segments_aot call's segments.
+last_segment_walls: list = []
 
 
 def segment_plan(nepochs, batchsteps_list, checkpoint_every=None):
