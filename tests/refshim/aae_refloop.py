@@ -17,6 +17,11 @@ args = ap.parse_args()
 from vamb.aamb_encode import AAE as RefAAE
 from vamb.encode import make_dataloader
 
+import os
+if not os.path.exists('/tmp/h2h_avamb/tpuout/composition.npz'):
+    sys.exit("missing dataset artifacts: generate them first with\n"
+             "  python tests/refshim/head_to_head.py --mode avamb "
+             "--workdir /tmp/h2h_avamb --keep")
 comp = np.load('/tmp/h2h_avamb/tpuout/composition.npz', allow_pickle=True)
 ab = np.load('/tmp/h2h_avamb/tpuout/abundance.npz', allow_pickle=True)
 dl = make_dataloader(ab['matrix'].copy(), comp['matrix'].copy(),

@@ -17,6 +17,11 @@ from vamb.encode import make_dataloader
 REC_EPOCHS = 70
 SEED = 1
 
+import os
+if not os.path.exists('/tmp/h2h_avamb/tpuout/composition.npz'):
+    sys.exit("missing dataset artifacts: generate them first with\n"
+             "  python tests/refshim/head_to_head.py --mode avamb "
+             "--workdir /tmp/h2h_avamb --keep")
 comp = np.load('/tmp/h2h_avamb/tpuout/composition.npz', allow_pickle=True)
 ab = np.load('/tmp/h2h_avamb/tpuout/abundance.npz', allow_pickle=True)
 dl = make_dataloader(ab['matrix'].copy(), comp['matrix'].copy(),
