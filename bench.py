@@ -303,7 +303,17 @@ def bench_clustering() -> tuple[float, dict]:
         elapsed = time.time() - t0
         return gen, emitted, elapsed
 
+    # best-of-2 windows: the shared TPU pool's delivered throughput swings
+    # >2x between moments (same reason bench_vae takes best-of-3), and the
+    # window is short enough for one slow moment to read as a regression
     gen, emitted, elapsed = timed_run()
+    if gen._inflight is not None:
+        for arr in gen._inflight:
+            np.asarray(arr)
+        gen._inflight = None
+    gen2, emitted2, elapsed2 = timed_run()
+    if gen2._emitted_total / elapsed2 > gen._emitted_total / elapsed:
+        gen, emitted, elapsed = gen2, emitted2, elapsed2
     # rates are computed over DECODED clusters (the work the wall clock
     # actually covers) — with large dispatch batches the popped count can
     # trail the decoded count by up to one batch
