@@ -221,28 +221,31 @@ def bench_secondary_models() -> dict:
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         runs = {
-            "aae": lambda ds, ne: AAE(nsamples=s, seed=1).trainmodel(
-                ds, nepochs=ne, batchsize=1024, batchsteps=None
+            "aae": lambda ds, ne, walls: AAE(nsamples=s, seed=1).trainmodel(
+                ds, nepochs=ne, batchsize=1024, batchsteps=None,
+                segment_walls=walls,
             ),
-            "vaevae": lambda ds, ne: VAEVAE(
+            "vaevae": lambda ds, ne, walls: VAEVAE(
                 nsamples=s, nlabels=len(nodes), nodes=nodes,
                 table_parent=table_parent, hier_loss="flat_softmax", seed=1,
-            ).trainmodel(ds, targets, nepochs=ne, batchsize=1024, batchsteps=None),
-            "taxometer": lambda ds, ne: Taxometer(
+            ).trainmodel(ds, targets, nepochs=ne, batchsize=1024,
+                         batchsteps=None, segment_walls=walls),
+            "taxometer": lambda ds, ne, walls: Taxometer(
                 nsamples=s, nlabels=len(nodes), nodes=nodes,
                 table_parent=table_parent, seed=1,
-            ).trainmodel(ds, targets, nepochs=ne, batchsize=1024, batchsteps=None),
+            ).trainmodel(ds, targets, nepochs=ne, batchsize=1024,
+                         batchsteps=None, segment_walls=walls),
         }
-        from vamb_tpu.models import training as _training
 
         for name, run in runs.items():
             try:
                 ds = fresh_ds()
+                walls: list = []
                 t0 = time.time()
-                run(ds, epochs)
+                run(ds, epochs, walls)
                 call_wall = time.time() - t0
-                exec_wall = sum(w for _, w in _training.last_segment_walls)
-                done = sum(sl for sl, _ in _training.last_segment_walls)
+                exec_wall = sum(w for _, w in walls)
+                done = sum(sl for sl, _ in walls)
                 rate = n * done / max(exec_wall, 1e-9)
                 out[f"{name}_train_contigs_per_s_chip"] = rate
                 out[f"{name}_train_fixed_overhead_s"] = call_wall - exec_wall
@@ -282,9 +285,7 @@ def bench_clustering() -> tuple[float, dict]:
         next(iter(warm_gen))
         # drain the warm generator's speculative in-flight batch and drop
         # its HBM buffers so nothing queues ahead of the timed window
-        if warm_gen._inflight is not None:
-            for arr in warm_gen._inflight:
-                np.asarray(arr)
+        warm_gen.drain()
         del warm_gen
         gen = vc.ClusterGenerator(matrix, lengths, normalized=True, **kwargs)
         it = iter(gen)
@@ -307,17 +308,14 @@ def bench_clustering() -> tuple[float, dict]:
     # >2x between moments (same reason bench_vae takes best-of-3), and the
     # window is short enough for one slow moment to read as a regression
     gen, emitted, elapsed = timed_run()
-    if gen._inflight is not None:
-        for arr in gen._inflight:
-            np.asarray(arr)
-        gen._inflight = None
+    gen.drain()
     gen2, emitted2, elapsed2 = timed_run()
-    if gen2._emitted_total / elapsed2 > gen._emitted_total / elapsed:
+    if gen2.emitted_total / elapsed2 > gen.emitted_total / elapsed:
         gen, emitted, elapsed = gen2, emitted2, elapsed2
     # rates are computed over DECODED clusters (the work the wall clock
     # actually covers) — with large dispatch batches the popped count can
     # trail the decoded count by up to one batch
-    decoded = gen._emitted_total
+    decoded = gen.emitted_total
     raw_rate = gen.n_dists / elapsed
     eff_rate = gen.n_dists_effective / elapsed
     rate = eff_rate  # headline (see module docstring)
@@ -341,10 +339,7 @@ def bench_clustering() -> tuple[float, dict]:
         # end — the regime the per-window dists/s metric can't see.
         # Drain the window generator's speculative in-flight batch first:
         # it would otherwise keep the device busy into the timed run.
-        if gen._inflight is not None:
-            for arr in gen._inflight:
-                np.asarray(arr)
-            gen._inflight = None
+        gen.drain()
         gen_f = vc.ClusterGenerator(matrix, lengths, normalized=True)
         # steady-state measurement: compile the compaction ladder's
         # programs up front — the background compiles otherwise steal the
@@ -382,7 +377,7 @@ def bench_clustering() -> tuple[float, dict]:
     gen16, _popped16, dt16 = timed_run(distance_dtype="bfloat16")
     rate16 = gen16.n_dists / dt16
     print(
-        f"[bench] clustering bf16: {gen16._emitted_total} clusters in "
+        f"[bench] clustering bf16: {gen16.emitted_total} clusters in "
         f"{dt16:.2f}s -> {rate16:.3g} raw dists/s",
         file=sys.stderr,
     )

@@ -355,6 +355,11 @@ def test_training_lockstep(models):
         uz, st_dz = oz.update(gz, st_dz, params["disc_z"])
         params = {**params, "disc_z": optax.apply_updates(params["disc_z"], uz)}
 
+        # third train-mode encode mirrors the reference's disc-y phase
+        # (only the encoder BN running-stat EMA advances again)
+        _, _, _, enc_s3 = aae.encode_apply(params, bn_state, d_in, t_in, True)
+        bn_state = {"enc": enc_s3, "dec": bn_state["dec"]}
+
         def dy_loss(dy):
             return 0.5 * (aae._bce(aae._disc(dy, y_prior), ones)
                           + aae._bce(aae._disc(dy, y_lat), zeros))
@@ -376,9 +381,24 @@ def test_training_lockstep(models):
     # final parameters agree everywhere after 6 lockstep steps
     def tmax(a, b):
         return float(np.abs(np.asarray(a) - b.detach().numpy()).max())
-    assert tmax(params["mu"]["w"].T if False else np.asarray(params["mu"]["w"]).T,
-                torch_m.mu.weight) < 1e-4
+    assert tmax(np.asarray(params["mu"]["w"]).T, torch_m.mu.weight) < 1e-4
     assert tmax(np.asarray(params["logvar"]["w"]).T, torch_m.logvar.weight) < 1e-4
     assert tmax(np.asarray(params["dec_out"]["w"]).T, torch_m.decoder[6].weight) < 1e-4
     assert tmax(np.asarray(params["disc_z"][0]["w"]).T,
                 torch_m.discriminator_z[0].weight) < 1e-4
+
+    # BN running stats agree too — they see THREE train-mode encodes per
+    # step in the reference (gen, disc-z, disc-y), and eval-mode latents
+    # normalize with them, so latent parity needs the same update count
+    for i, bn_idx in enumerate([1, 4]):
+        bn = torch_m.encoder[bn_idx]
+        dm = tmax(bn_state["enc"][i]["mean"], bn.running_mean)
+        dv = tmax(bn_state["enc"][i]["var"], bn.running_var)
+        assert dm < 1e-3, (i, dm)
+        assert dv < 1e-3, (i, dv)
+    for i, bn_idx in enumerate([1, 4]):
+        bn = torch_m.decoder[bn_idx]
+        dm = tmax(bn_state["dec"][i]["mean"], bn.running_mean)
+        dv = tmax(bn_state["dec"][i]["var"], bn.running_var)
+        assert dm < 1e-3, (i, dm)
+        assert dv < 1e-3, (i, dv)

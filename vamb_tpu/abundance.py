@@ -27,7 +27,13 @@ A = TypeVar("A", bound="Abundance")
 
 
 class Abundance:
-    "A (nseqs, nsamples) float32 depth matrix plus sample names and refhash."
+    """Depth matrix of shape (nseqs, nsamples) with its sample names.
+
+    The refhash records which contig catalogue the rows belong to, so later
+    stages can refuse mismatched inputs. The on-disk npz schema (keys
+    ``matrix``/``samplenames``/``minid``/``refhash``) is shared with the
+    reference so cached artifacts interoperate.
+    """
 
     __slots__ = ["matrix", "samplenames", "minid", "refhash"]
 
@@ -38,11 +44,15 @@ class Abundance:
         minid: float,
         refhash: bytes,
     ):
-        assert matrix.dtype == np.float32
-        assert matrix.ndim == 2
-        assert matrix.shape[1] == len(samplenames)
-        assert isfinite(minid) and 0.0 <= minid <= 1.0
-
+        rows, cols = matrix.shape  # also rejects non-2D input
+        if matrix.dtype != np.float32:
+            raise ValueError(f"Abundance matrix must be float32, got {matrix.dtype}")
+        if cols != len(samplenames):
+            raise ValueError(
+                f"{len(samplenames)} sample names for a {cols}-column matrix"
+            )
+        if not (isfinite(minid) and 0.0 <= minid <= 1.0):
+            raise ValueError(f"minid must lie in [0, 1], got {minid}")
         self.matrix = matrix
         self.samplenames = np.array(samplenames, dtype=object)
         self.minid = minid
@@ -50,31 +60,32 @@ class Abundance:
 
     @property
     def nseqs(self) -> int:
-        return len(self.matrix)
+        return self.matrix.shape[0]
 
     @property
     def nsamples(self) -> int:
-        return len(self.samplenames)
+        return self.matrix.shape[1]
+
+    def _fields(self) -> dict:
+        return {slot: getattr(self, slot) for slot in self.__slots__}
 
     def save(self, io: Union[Path, IO[bytes]]):
-        np.savez(
-            io,
-            matrix=self.matrix,
-            samplenames=self.samplenames,
-            minid=self.minid,
-            refhash=self.refhash,
-        )
+        "Write the npz artifact (uncompressed: loads faster, still small)."
+        np.savez(io, **self._fields())
 
     @classmethod
     def load(
         cls: type[A], io: Union[str, Path, IO[bytes]], refhash: Optional[bytes]
     ) -> A:
-        arrs = np.load(io, allow_pickle=True)
+        """Read an npz artifact; if `refhash` is given, verify the stored
+        hash against it and fail with first-mismatch diagnostics."""
+        stored = np.load(io, allow_pickle=True)
+        scalars = {k: stored[k].item() for k in ("minid", "refhash")}
         abundance = cls(
-            validate_input_array(arrs["matrix"]),
-            arrs["samplenames"],
-            arrs["minid"].item(),
-            arrs["refhash"].item(),
+            validate_input_array(stored["matrix"]),
+            stored["samplenames"],
+            scalars["minid"],
+            scalars["refhash"],
         )
         if refhash is not None:
             RefHasher.verify_refhash(

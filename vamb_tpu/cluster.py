@@ -2075,6 +2075,23 @@ class ClusterGenerator:
         (see _State.n_dists_eff)."""
         return self._n_dists_eff
 
+    @property
+    def emitted_total(self) -> int:
+        """Clusters DECODED so far — may lead the popped count by up to one
+        dispatch batch, since decode runs ahead of the consumer. This is the
+        right denominator for throughput over a timed window (the wall clock
+        covers the decoded work, not the popped subset)."""
+        return self._emitted_total
+
+    def drain(self) -> None:
+        """Materialize and drop any speculative in-flight device batch, so
+        no queued work bleeds into whatever the caller runs next (timed
+        benchmark windows, a second generator on the same device)."""
+        if self._inflight is not None:
+            for arr in self._inflight:
+                np.asarray(arr)
+            self._inflight = None
+
     def __iter__(self):
         return self
 

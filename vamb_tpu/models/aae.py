@@ -204,6 +204,7 @@ class AAE:
         modelfile: Union[None, str, Path, IO[bytes]] = None,
         logger: Optional[Callable[[str], None]] = None,
         mesh=None,
+        segment_walls: Optional[list] = None,
     ) -> None:
         if nepochs < 1:
             raise ValueError(f"Minimum 1 epoch, not {nepochs}")
@@ -366,6 +367,16 @@ class AAE:
                     }
 
                     # ---- discriminator y phase
+                    # The reference encodes a THIRD time for this phase
+                    # (aamb_encode.py disc-y step). Outputs are identical to
+                    # the disc-z encode (same params, same batch; XLA CSEs the
+                    # shared compute) but the encoder BN running-stat EMA
+                    # applies once more — needed for eval-mode latent parity.
+                    _, _, _, bn_enc_s3 = self.encode_apply(
+                        params, bn_state, d_in, t_in, True
+                    )
+                    bn_state = {"enc": bn_enc_s3, "dec": bn_state["dec"]}
+
                     def dy_loss(disc_y):
                         return 0.5 * (
                             self._bce(self._disc(disc_y, y_prior), ones)
@@ -420,6 +431,7 @@ class AAE:
             lambda bsz, nb, seg: dict(
                 bs=bsz, nb=nb, n_obs=dataset.n_obs, nepochs=seg
             ),
+            segment_walls=segment_walls,
         )
         drain.flush()
         self.rng = rng

@@ -167,6 +167,7 @@ class Taxometer:
         modelfile: Union[None, str, Path, IO[bytes]] = None,
         logger: Optional[Callable[[str], None]] = None,
         mesh=None,
+        segment_walls: Optional[list] = None,
     ) -> None:
         "Train in place on (dataset, integer node targets)."
         if nepochs < 1:
@@ -241,6 +242,7 @@ class Taxometer:
             lambda bs, nb, seg: dict(
                 batchsize=bs, nbatches=nb, n_obs=dataset.n_obs, nepochs=seg
             ),
+            segment_walls=segment_walls,
         )
         drain.flush()
         self.rng = rng

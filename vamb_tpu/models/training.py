@@ -113,6 +113,7 @@ def run_segments_aot(
     batchsteps_list,
     drain_push,
     statics,
+    segment_walls: Optional[list] = None,
 ):
     """Run the segment loop with all segment programs AOT-compiled
     CONCURRENTLY (compiles overlap the first segments' execution; a cold
@@ -122,17 +123,17 @@ def run_segments_aot(
     metrics (seg_len, n_metrics). `drain_push(epoch, metrics_row, bs)` is
     called once per epoch. Returns (train_state, rng).
 
-    Each segment's (seg_len, execution_wall_s) is appended to the
-    module-level `last_segment_walls` list (reset per call) — the wall
-    from dispatch until the segment's metrics landed on host, which
-    excludes trace/lower/compile entirely. bench.py reads this for
-    steady-state training-throughput canaries (a timed trainmodel call
-    measures mostly per-call tracing otherwise)."""
+    When the caller passes a `segment_walls` list, each segment's
+    (seg_len, execution_wall_s) is appended to it — the wall from dispatch
+    until the segment's metrics landed on host, excluding trace/lower/
+    compile entirely. This forces a host sync per segment, so it is
+    instrumentation-only (bench.py's steady-state training canaries);
+    without it segments dispatch back-to-back and metric rows drain
+    asynchronously."""
     from concurrent.futures import ThreadPoolExecutor
 
     from .dataset import batchsize_at_epoch, num_batches
 
-    last_segment_walls.clear()
     plan = list(segment_plan(nepochs, batchsteps_list))
 
     def compile_segment(epoch, seg_len):
@@ -154,16 +155,13 @@ def run_segments_aot(
         compiled = futures[(bs, seg_len)].result()
         t0 = time.time()
         train_state, rng, metrics = compiled(train_state, data, rng)
-        metrics = np.asarray(metrics)  # blocks until the segment finished
-        last_segment_walls.append((seg_len, time.time() - t0))
+        if segment_walls is not None:
+            metrics = np.asarray(metrics)  # blocks until the segment finished
+            segment_walls.append((seg_len, time.time() - t0))
         for i in range(seg_len):
             drain_push(epoch + i, metrics[i], bs)
     pool.shutdown(wait=False)
     return train_state, rng
-
-
-#: (seg_len, wall_s) of the most recent run_segments_aot call's segments.
-last_segment_walls: list = []
 
 
 def segment_plan(nepochs, batchsteps_list, checkpoint_every=None):

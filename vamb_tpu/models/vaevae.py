@@ -384,6 +384,7 @@ class VAEVAE:
         modelfile: Union[None, str, Path, IO[bytes]] = None,
         logger: Optional[Callable[[str], None]] = None,
         mesh=None,
+        segment_walls: Optional[list] = None,
     ) -> None:
         if nepochs < 1:
             raise ValueError(f"Minimum 1 epoch, not {nepochs}")
@@ -532,6 +533,7 @@ class VAEVAE:
             lambda bsz, nb, seg: dict(
                 bs=bsz, nb=nb, n_obs=dataset.n_obs, nepochs=seg
             ),
+            segment_walls=segment_walls,
         )
         drain.flush()
         self.rng = rng
