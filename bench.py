@@ -419,11 +419,16 @@ def bench_noisy_clustering() -> dict:
 
     matrix, lengths, _truth = _blob_latents(N, D, 1400, noise_frac=0.30, seed=3)
     matrix = vc.normalize(matrix, inplace=True)
-    gen = vc.ClusterGenerator(matrix, lengths, normalized=True)
-    float(gen.matrixT[0, 0])  # force the host->device upload before timing
-    t0 = time.time()
-    n_clusters = sum(1 for _ in gen)
-    dt = time.time() - t0
+    # best-of-2 full runs: the round-4 single-shot wall moved 17.4 -> 20.7 s
+    # round-over-round on a faster engine purely from pool swings
+    runs = []
+    for _ in range(2):
+        gen = vc.ClusterGenerator(matrix, lengths, normalized=True)
+        float(gen.matrixT[0, 0])  # force the host->device upload first
+        t0 = time.time()
+        n_clusters = sum(1 for _ in gen)
+        runs.append((time.time() - t0, n_clusters, gen))
+    dt, n_clusters, gen = min(runs, key=lambda r: r[0])
     eff_rate = gen.n_dists_effective / dt
     print(
         f"[bench] clustering noisy full run: {n_clusters} clusters "
@@ -483,22 +488,44 @@ def bench_cluster_quality_ab() -> dict:
     # newest engine path has an on-device quality+perf A/B like the others
     configs.append(("lanes_off", {"attempt_batch": "off"}))
 
+    # Variance control (round-5): the shared TPU pool's delivered
+    # throughput swings >2x between moments, and round 4's single-shot
+    # walls produced an A/B ordering inversion across rounds that the
+    # bench could not distinguish from a regression. Arms are therefore
+    # INTERLEAVED over AB_REPEATS rounds (so a slow pool moment hits all
+    # arms, not one) and the reported wall is the per-arm MEDIAN. Bins are
+    # deterministic per arm (fixed generator seed), so quality is scored
+    # once on the first repeat.
+    AB_REPEATS = 3
     out: dict = {}
     counts: list[int] = []
-    for name, kwargs in configs:
-        gen = vc.ClusterGenerator(matrix, lengths, normalized=True, **kwargs)
-        t0 = time.time()
-        bins = {i: cl.members for i, cl in enumerate(gen)}
-        dt = time.time() - t0
-        nc, mq = _score_bins_vs_truth(bins, truth, lengths, n_blobs)
+    walls: dict = {name: [] for name, _ in configs}
+    ncs: dict = {}
+    for rep in range(AB_REPEATS):
+        for name, kwargs in configs:
+            gen = vc.ClusterGenerator(
+                matrix, lengths, normalized=True, **kwargs)
+            t0 = time.time()
+            bins = {i: cl.members for i, cl in enumerate(gen)}
+            walls[name].append(time.time() - t0)
+            if rep == 0:
+                ncs[name] = _score_bins_vs_truth(bins, truth, lengths, n_blobs)
+    for name, _ in configs:
+        nc, mq = ncs[name]
+        med = float(np.median(walls[name]))
         print(
-            f"[bench] cluster A/B [{name}]: {len(bins)} clusters in "
-            f"{dt:.1f}s -> {nc}/{n_blobs} NC-like, {mq} MQ-like",
+            f"[bench] cluster A/B [{name}]: median {med:.2f}s over "
+            f"{AB_REPEATS} interleaved runs "
+            f"(all: {', '.join(f'{w:.2f}' for w in walls[name])}) "
+            f"-> {nc}/{n_blobs} NC-like, {mq} MQ-like",
             file=sys.stderr,
         )
         out[f"cluster_ab_nc_{name}"] = nc
-        out[f"cluster_ab_wall_s_{name}"] = dt
+        out[f"cluster_ab_wall_s_{name}"] = med
+        out[f"cluster_ab_wall_spread_{name}"] = float(
+            max(walls[name]) - min(walls[name]))
         counts.append(nc)
+    out["cluster_ab_repeats"] = AB_REPEATS
     out["cluster_ab_nc_match"] = bool(max(counts) - min(counts) <= 2)
     return out
 

@@ -9,7 +9,7 @@ pileup oracle on the reference's own mini-BAMs, tests/test_bam.py).
 
 import numpy as np
 
-from vamb_tpu.bam import bam_ref_names, coverage_from_bams
+from vamb_tpu.bam import coverage_from_bams
 
 
 def get_coverages_from_bam(
@@ -31,8 +31,40 @@ def get_coverages_from_bam(
 
 
 def is_bam_sorted(path) -> bool:
-    # The native reader streams unsorted BAMs too; sortedness only matters
-    # for pycoverm's internal pileup. Report True so the reference CLI's
-    # guard (vamb/__main__.py:142) passes for any readable BAM.
-    bam_ref_names(str(path))
-    return True
+    """Real coordinate-sortedness probe (this repo's native reader streams
+    unsorted BAMs fine, but the reference's guard at __main__.py:142 must
+    keep its meaning): scan (ref_id, pos) pairs and require non-decreasing
+    position within each reference block, references non-interleaved,
+    unmapped (ref_id -1) only at the end."""
+    import gzip
+    import struct
+
+    with gzip.open(str(path), "rb") as f:
+        magic = f.read(4)
+        if magic != b"BAM\x01":
+            raise ValueError(f"Not a BAM file: {path}")
+        (l_text,) = struct.unpack("<i", f.read(4))
+        f.read(l_text)
+        (n_ref,) = struct.unpack("<i", f.read(4))
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", f.read(4))
+            f.read(l_name + 4)
+        seen_refs = set()
+        cur_ref, cur_pos = None, -1
+        while True:
+            raw = f.read(4)
+            if len(raw) < 4:
+                return True
+            (block_size,) = struct.unpack("<i", raw)
+            rec = f.read(block_size)
+            ref_id, pos = struct.unpack_from("<ii", rec, 0)
+            if ref_id != cur_ref:
+                if ref_id in seen_refs or (cur_ref == -1 and ref_id != -1):
+                    return False  # interleaved refs / mapped after unmapped
+                if cur_ref is not None:
+                    seen_refs.add(cur_ref)
+                cur_ref, cur_pos = ref_id, pos
+            elif pos < cur_pos:
+                return False
+            else:
+                cur_pos = pos

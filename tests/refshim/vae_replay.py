@@ -339,6 +339,7 @@ def replay():
     step0 = 0
     print("== continuous replay (drift compounds across epochs) ==")
     cont_rel = []
+    step_rel_first = None
     for epoch in range(EPOCHS):
         params, bn_state, opt_state, comps = run_epoch(
             params, bn_state, opt_state, epoch, step0)
@@ -347,6 +348,16 @@ def replay():
         mine = comps.mean(axis=0)
         rel = abs(mine[0] - refm[0]) / abs(refm[0])
         cont_rel.append(rel)
+        if epoch == 0:
+            # per-step table for the first epoch: exactness at the noise
+            # floor for the first ~10 steps, then chaotic amplification —
+            # the cleanest per-step semantics evidence
+            per = np.abs(comps[:, 0] - ref_losses[:n, 0]) / np.abs(
+                ref_losses[:n, 0])
+            step_rel_first = per
+            for i in range(min(10, n)):
+                print(f"    step {i}: ref {ref_losses[i, 0]:.8f} replay "
+                      f"{comps[i, 0]:.8f} rel {per[i]:.2e}")
         print(f"epoch {epoch + 1:>2}: ref loss {refm[0]:.6f} replay "
               f"{mine[0]:.6f} rel {rel:.2e}", flush=True)
         step0 += n
@@ -388,6 +399,12 @@ def replay():
     n_common = len(set(bins_ref) & set(bins_replay))
     print(f"bins: ref {len(bins_ref)} replay {len(bins_replay)} "
           f"identical={same} (common {n_common})")
+    # the chaos-free form of the bins claim: OUR forward on the
+    # reference's own final parameters vs the reference's own latents
+    bins_fwd = bins_of(lat_refparams)
+    same_fwd = bins_ref == bins_fwd
+    print(f"bins (our forward, reference params): {len(bins_fwd)} "
+          f"identical={same_fwd}")
 
     # ---- mode B: epoch-reset replay (no compounding)
     print("== epoch-reset replay (each epoch from the reference's own "
@@ -430,11 +447,14 @@ def replay():
     print("SUMMARY " + json.dumps({
         "epochs": EPOCHS,
         "batchsteps": BATCHSTEPS,
+        "first_10_steps_rel_max": float(np.max(step_rel_first[:10])),
         "continuous_rel_per_epoch_max": float(np.max(cont_rel)),
         "reset_rel_per_epoch_max": float(np.max(reset_rel)),
+        "reset_rel_epochs_4_plus_max": float(np.max(reset_rel[3:])),
         "latent_maxdiff_replay": d_replay,
         "latent_maxdiff_forward_floor": d_fwd,
-        "bins_identical": bool(same),
+        "bins_identical_continuous": bool(same),
+        "bins_identical_forward_on_ref_params": bool(same_fwd),
         "bins_ref": len(bins_ref),
         "bins_replay": len(bins_replay),
         "bins_common": n_common,
