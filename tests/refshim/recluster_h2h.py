@@ -14,11 +14,13 @@ recluster` on IDENTICAL inputs through BOTH pipelines:
   --no_predictor.
 
 The reference side runs under tests/refshim with the now-FUNCTIONAL
-pyrodigal/pyhmmer shims (backed by ops/orf.py + ops/hmm.py, forced onto
-JAX-CPU so the forked marker workers don't contend for the TPU), so both
-sides share this repo's marker stack — the h2h therefore compares the
-RECLUSTERING algorithms on identical markers/latents, same caveat as the
-pycoverm shim. Scores refined binnings NC/MQ-like vs planted ground truth.
+pyrodigal/pyhmmer shims (backed by ops/orf.py + ops/hmm.py; run with
+-p 1 so exactly one forked marker worker owns the single-client TPU), so
+both sides share this repo's marker stack — the h2h therefore compares
+the RECLUSTERING algorithms on identical markers/latents, same caveat as
+the pycoverm shim. The first run predicts markers through the full shim
+path; the other three reuse its markers.npz (also checking cross-pipeline
+artifact interop). Scores refined binnings NC/MQ-like vs planted truth.
 
 Usage: python tests/refshim/recluster_h2h.py [--contigs 20000]
        [--genomes 150] [--workdir DIR] [--keep]
@@ -214,26 +216,40 @@ def main():
                               "bins": len(split_bins)},
         }
 
+        # The first run predicts markers through the full shim path and
+        # caches markers.npz; later runs reuse that artifact (--markers),
+        # which both pins identical marker inputs across all four runs and
+        # checks cross-pipeline markers.npz interop.
+        markers_npz = None
         for mode in ("kmeans", "dbscan"):
             for side in ("reference", "vamb_tpu"):
                 outdir = os.path.join(workdir, f"{side}_{mode}")
-                cmd_tail = [
-                    "recluster", "--outdir", outdir, "--fasta", fasta,
-                    "--latent_path", latent, "--hmm_path", hmm_path,
-                    "--algorithm", mode, "--seed", "1", "-p", "4",
-                ]
+                shutil.rmtree(outdir, ignore_errors=True)  # CLIs mkdir fresh
                 if mode == "kmeans":
-                    cmd_tail += ["--clusters_path", clusters]
+                    alg_args = ["--clusters_path", clusters]
                 else:
-                    cmd_tail += ["--taxonomy", tax_path, "--no_predictor"]
+                    alg_args = ["--taxonomy", tax_path, "--no_predictor"]
+                marker_args = (
+                    ["--markers", markers_npz] if markers_npz
+                    else ["--hmm_path", hmm_path]
+                )
                 if side == "reference":
+                    # -p 1: exactly one forked marker worker, so only one
+                    # process initializes the (single-client) TPU; the
+                    # torch parent never touches JAX before the fork
                     cmd = [sys.executable,
                            os.path.join(_REPO, "tests/refshim/run_reference.py"),
-                           *cmd_tail]
-                    # forked marker workers must not contend for the TPU
-                    env = {"JAX_PLATFORMS": "cpu"}
+                           "recluster", "--outdir", outdir, "--fasta", fasta,
+                           "--latent_path", latent, *marker_args,
+                           "--algorithm", mode, "--seed", "1", "-p", "1",
+                           *alg_args]
+                    env = None
                 else:
-                    cmd = [sys.executable, "-m", "vamb_tpu", *cmd_tail]
+                    cmd = [sys.executable, "-m", "vamb_tpu",
+                           "recluster", "--outdir", outdir, "--fasta", fasta,
+                           "--latent_path", latent, *marker_args,
+                           "--algorithm", mode, "--seed", "1", "-p", "4",
+                           *alg_args]
                     env = None
                 wall = run_cmd(f"{side} {mode}", cmd, env)
                 bins = read_bins(
@@ -245,6 +261,9 @@ def main():
                 }
                 print(f"[h2h] {side} {mode}: NC {nc} MQ {mq} "
                       f"bins {len(bins)} wall {wall:.1f}s", file=sys.stderr)
+                cached = os.path.join(outdir, "markers.npz")
+                if markers_npz is None and os.path.exists(cached):
+                    markers_npz = cached
         print(json.dumps(results))
     finally:
         if not args.keep and args.workdir is None:

@@ -98,7 +98,9 @@ def hmmsearch(hmms, sequences, **_kw):
     from vamb_tpu.ops import hmm as hmm_mod
 
     seqs = list(sequences)
-    encoded = hmm_mod.EncodedProteins([s.sequence for s in seqs])
+    # large batches: the tunneled TPU costs ~10ms per dispatch, so scoring
+    # tens of thousands of genes at the default 512-batch is latency-bound
+    encoded = hmm_mod.EncodedProteins([s.sequence for s in seqs], batch=8192)
     for h in hmms:
         local = hmm_mod.configure_local(h._profile)
         scores = hmm_mod.forward_scores(local, encoded)

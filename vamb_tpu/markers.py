@@ -376,7 +376,9 @@ class NativeBackend(PredictorBackend):
                     gene_contig.append(record.identifier)
 
         # encode/sort/upload the gene batches once; every profile reuses them
-        encoded = hmm_mod.EncodedProteins(proteins)
+        # large batches: a tunneled TPU pays ~10ms dispatch latency, so a
+        # whole-file gene set at the 512 default is latency-bound
+        encoded = hmm_mod.EncodedProteins(proteins, batch=8192)
         markers: defaultdict[str, set[int]] = defaultdict(set)
         for profile in profiles:
             cutoff = profile.trusted_cutoff

@@ -140,20 +140,47 @@ class Taxometer:
         train: bool,
         key=None,
         axis_name=None,
+        dropout_bits=None,
     ):
-        "Forward pass -> (logits, new_bn_state)."
+        """Forward pass -> (logits, new_bn_state).
+
+        `dropout_bits` (train only): one (B, width) uint8 array per hidden
+        layer applies byte-mask dropout from a pre-drawn per-epoch bank
+        instead of drawing threefry bytes in-step (the same fast path the
+        flagship VAE uses; layers.dropout_from_bits documents soundness)."""
         x = jnp.concatenate((depths, tnf, abundance), axis=1)
         new_states = []
         for i, (p, s) in enumerate(zip(params["enc"], bn_state["enc"])):
             x = layers.leaky_relu(layers.dense(p["dense"], x))
             if train:
-                x = layers.dropout(jax.random.fold_in(key, i), x, self.dropout)
+                if dropout_bits is not None:
+                    x = layers.dropout_from_bits(dropout_bits[i], x, self.dropout)
+                else:
+                    x = layers.dropout(
+                        jax.random.fold_in(key, i), x, self.dropout)
                 x, s = layers.batchnorm_train(p["bn"], s, x, axis_name=axis_name)
             else:
                 x = layers.batchnorm_eval(p["bn"], s, x)
             new_states.append(s)
         logits = layers.dense(params["out"], x)
         return logits, {"enc": new_states}
+
+    def _draw_dropout_bank(self, key, batchsize):
+        "One epoch's dropout bytes for all hidden layers (see models/vae.py)."
+        import os
+
+        if self.dropout == 0.0 or os.environ.get("VAMB_TPU_DROPOUT_MODE") == "step":
+            return None
+        total = sum(self.nhiddens)
+        nwords = (total + 3) // 4
+        words = jax.random.bits(key, (batchsize, nwords), jnp.uint32)
+        bits = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(
+            batchsize, nwords * 4)
+        slices, off = [], 0
+        for w in self.nhiddens:
+            slices.append(bits[:, off : off + w])
+            off += w
+        return slices
 
     # ------------------------------------------------------------ training
 
@@ -192,14 +219,23 @@ class Taxometer:
         optimizer = dadapt_adam()
         n_label_classes = max(self.n_tree_nodes, 105)
 
-        def grad_and_update(train_state, batch, key):
+        def grad_and_update(train_state, batch, key, bank, step_i):
             params, bn_state, opt_state = train_state
             depths, tnf, ab, _w, labels = batch
             onehot = jax.nn.one_hot(labels, n_label_classes, dtype=jnp.float32)
+            if bank is None:
+                bits = None
+            else:
+                # rotate the epoch's dropout bytes per step (uint8 add fuses
+                # into the threshold compare) — distinct masks every step
+                # from one draw per epoch, as in models/vae.py
+                rot = (step_i * 97).astype(jnp.uint8)
+                bits = [b + rot for b in bank]
 
             def loss_fn(params, bn_state):
                 logits, new_state = self.apply(
-                    params, bn_state, depths, tnf, ab, train=True, key=key
+                    params, bn_state, depths, tnf, ab, train=True, key=key,
+                    dropout_bits=bits,
                 )
                 loss = self.loss_fn(logits, onehot[:, : self._label_cols()])
                 return loss, new_state
@@ -211,7 +247,10 @@ class Taxometer:
             params = jax.tree.map(lambda p, u: p + u, params, updates)
             return (params, bn_state, opt_state), jnp.stack([loss])
 
-        epoch_fn = make_scan_epoch_fn(grad_and_update, 1, mesh=mesh)
+        epoch_fn = make_scan_epoch_fn(
+            grad_and_update, 1, mesh=mesh,
+            epoch_extra=self._draw_dropout_bank,
+        )
         data = (
             jnp.asarray(dataset.depths),
             jnp.asarray(dataset.tnf),

@@ -20,6 +20,7 @@ def make_scan_epoch_fn(
     grad_and_update: Callable,
     n_metrics: int,
     mesh=None,
+    epoch_extra: Optional[Callable] = None,
 ):
     """Build a jitted epoch function from a per-batch update.
 
@@ -27,6 +28,12 @@ def make_scan_epoch_fn(
     `train_state` is any pytree and `metrics` a length-`n_metrics` vector.
     Returns `epoch_fn(train_state, data, key, batchsize, nbatches)` where
     `data` is a tuple of (N, ...) arrays gathered per batch.
+
+    `epoch_extra(key, batchsize) -> pytree`, when given, is evaluated ONCE
+    per epoch (inside the compiled program) and its result is passed to the
+    update as `grad_and_update(train_state, batch, key, extra, step_index)`
+    — the hook the per-epoch dropout byte banks use (drawing threefry bytes
+    per step dominated the training step; see layers.dropout_from_bits).
 
     With `mesh`, each gathered batch is re-sharded row-wise across the mesh
     so every device computes its shard's gradients (GSPMD then all-reduces
@@ -57,7 +64,12 @@ def make_scan_epoch_fn(
         def one_epoch(carry, _):
             train_state, rng = carry
             rng, key = jax.random.split(rng)
-            perm_key, scan_key = jax.random.split(key)
+            if epoch_extra is None:
+                perm_key, scan_key = jax.random.split(key)
+                extra = None
+            else:
+                perm_key, scan_key, extra_key = jax.random.split(key, 3)
+                extra = epoch_extra(extra_key, batchsize)
             perm = jax.random.permutation(perm_key, n)
             idx = perm[: nbatches * batchsize]
             if batch_sharding is None:
@@ -86,7 +98,11 @@ def make_scan_epoch_fn(
                 train_state, key = carry
                 key, sub = jax.random.split(key)
                 batch = get_batch(i)
-                train_state, metrics = grad_and_update(train_state, batch, sub)
+                if epoch_extra is None:
+                    train_state, metrics = grad_and_update(train_state, batch, sub)
+                else:
+                    train_state, metrics = grad_and_update(
+                        train_state, batch, sub, extra, i)
                 return (train_state, key), metrics
 
             (train_state, _), metrics = jax.lax.scan(

@@ -81,24 +81,33 @@ class _SubVAE:
         params["out"] = layers.init_dense(rng, self.nhiddens[0], self.nout)
         return params, bn
 
-    def _stack(self, stack_p, stack_s, x, train, key, axis_name):
+    def _stack(self, stack_p, stack_s, x, train, key, axis_name,
+               dropout_bits=None):
         new_states = []
         for i, (p, s) in enumerate(zip(stack_p, stack_s)):
             x = layers.leaky_relu(layers.dense(p["dense"], x))
             if train:
-                x = layers.dropout(jax.random.fold_in(key, i), x, self.dropout)
+                if dropout_bits is not None:
+                    x = layers.dropout_from_bits(dropout_bits[i], x, self.dropout)
+                else:
+                    x = layers.dropout(
+                        jax.random.fold_in(key, i), x, self.dropout)
                 x, s = layers.batchnorm_train(p["bn"], s, x, axis_name=axis_name)
             else:
                 x = layers.batchnorm_eval(p["bn"], s, x)
             new_states.append(s)
         return x, new_states
 
-    def encode(self, params, bn, x, train, key=None, axis_name=None):
-        h, enc_s = self._stack(params["enc"], bn["enc"], x, train, key, axis_name)
+    def encode(self, params, bn, x, train, key=None, axis_name=None,
+               dropout_bits=None):
+        h, enc_s = self._stack(params["enc"], bn["enc"], x, train, key,
+                               axis_name, dropout_bits)
         return layers.dense(params["mu"], h), enc_s
 
-    def decode(self, params, bn, latent, train, key=None, axis_name=None):
-        h, dec_s = self._stack(params["dec"], bn["dec"], latent, train, key, axis_name)
+    def decode(self, params, bn, latent, train, key=None, axis_name=None,
+               dropout_bits=None):
+        h, dec_s = self._stack(params["dec"], bn["dec"], latent, train, key,
+                               axis_name, dropout_bits)
         return layers.dense(params["out"], h), dec_s
 
 
@@ -293,59 +302,104 @@ class VAEVAE:
 
     # ------------------------------------------------------------- forward
 
-    def _step_losses(self, params, bn_state, sup, unsup, key):
+    # number of _SubVAE stack invocations per step (each = 2 dropout layers);
+    # the per-epoch dropout byte bank allocates one slot pair per invocation
+    _N_STACK_CALLS = 9
+    # encode (e) / decode (d) per invocation, in _step_losses call order —
+    # decode stacks run the hidden widths reversed
+    _STACK_KINDS = "eddededde"
+
+    def _draw_dropout_bank(self, key, batchsize):
+        """One epoch's dropout bytes for every stack invocation and layer
+        (distinct slices per slot; per-step rotation in the step). Same
+        construction and soundness argument as models/vae.py's bank."""
+        import os
+
+        if self.dropout == 0.0 or os.environ.get("VAMB_TPU_DROPOUT_MODE") == "step":
+            return None
+        widths: list[int] = []
+        for kind in self._STACK_KINDS:
+            widths += self.nhiddens if kind == "e" else self.nhiddens[::-1]
+        total = sum(widths)
+        nwords = (total + 3) // 4
+        words = jax.random.bits(key, (batchsize, nwords), jnp.uint32)
+        bits = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(
+            batchsize, nwords * 4)
+        slices, off = [], 0
+        for w in widths:
+            slices.append(bits[:, off : off + w])
+            off += w
+        return slices
+
+    def _step_losses(self, params, bn_state, sup, unsup, key, bank=None):
         """All three sub-VAE losses for one (sup, unsup) batch pair.
 
         Mirrors reference VAEVAE.trainepoch (semisupervised_encode.py:829-1008).
-        Returns (total_loss, new_bn_state, metrics vector).
-        """
+        Returns (total_loss, new_bn_state, metrics vector). `bank`, when
+        given, is a list of len(nhiddens)*_N_STACK_CALLS uint8 (B, width)
+        arrays — one pre-drawn dropout byte slice per (stack invocation,
+        layer); each of the nine forwards below then applies byte-mask
+        dropout instead of drawing threefry bytes in-step (18 (B,512) draws
+        per step dominated this family's training throughput)."""
         d_s, t_s, a_s, w_s, y_s = sup
         d_u, t_u, a_u, w_u, y_u = unsup
         keys = jax.random.split(key, 12)
+        L = len(self.nhiddens)
+        slots = (lambda j: None) if bank is None else (
+            lambda j: bank[L * j : L * (j + 1)])
 
         # --- joint forward on supervised rows
         x_joint = jnp.concatenate((d_s, t_s, a_s, y_s), axis=1)
         mu_sup, joint_enc_s = self.joint.encode(
-            params["joint"], bn_state["joint"], x_joint, True, keys[0]
+            params["joint"], bn_state["joint"], x_joint, True, keys[0],
+            dropout_bits=slots(0)
         )
         # decode mu_sup through the single-modality decoders (fresh noise each)
         eps1 = jax.random.normal(keys[1], mu_sup.shape)
         rec_vamb_sup, vamb_dec_s = self.vamb.decode(
-            params["vamb"], bn_state["vamb"], mu_sup + eps1, True, keys[2]
+            params["vamb"], bn_state["vamb"], mu_sup + eps1, True, keys[2],
+            dropout_bits=slots(1)
         )
         d_os, t_os, a_os, _ = self._split_features(rec_vamb_sup)
         d_os = jax.nn.softmax(d_os, axis=1)
         eps2 = jax.random.normal(keys[3], mu_sup.shape)
         y_logits_sup, labels_dec_s = self.labels_vae.decode(
-            params["labels"], bn_state["labels"], mu_sup + eps2, True, keys[4]
+            params["labels"], bn_state["labels"], mu_sup + eps2, True, keys[4],
+            dropout_bits=slots(2)
         )
 
         # --- single-modality forwards
         x_u = jnp.concatenate((d_u, t_u, a_u), axis=1)
         mu_vamb_u, vamb_enc_s = self.vamb.encode(
-            params["vamb"], bn_state["vamb"], x_u, True, keys[5]
+            params["vamb"], bn_state["vamb"], x_u, True, keys[5],
+            dropout_bits=slots(3)
         )
         eps3 = jax.random.normal(keys[6], mu_vamb_u.shape)
         rec_vamb_u, vamb_dec_s2 = self.vamb.decode(
-            params["vamb"], bn_state["vamb"], mu_vamb_u + eps3, True, keys[7]
+            params["vamb"], bn_state["vamb"], mu_vamb_u + eps3, True, keys[7],
+            dropout_bits=slots(4)
         )
         d_ou, t_ou, a_ou, _ = self._split_features(rec_vamb_u)
         d_ou = jax.nn.softmax(d_ou, axis=1)
 
         x_s = jnp.concatenate((d_s, t_s, a_s), axis=1)
         mu_vamb_s, vamb_enc_s2 = self.vamb.encode(
-            params["vamb"], bn_state["vamb"], x_s, True, keys[8]
+            params["vamb"], bn_state["vamb"], x_s, True, keys[8],
+            dropout_bits=slots(5)
         )
 
         mu_lab_u, labels_enc_s = self.labels_vae.encode(
-            params["labels"], bn_state["labels"], y_u, True, keys[9]
+            params["labels"], bn_state["labels"], y_u, True, keys[9],
+            dropout_bits=slots(6)
         )
         eps4 = jax.random.normal(keys[10], mu_lab_u.shape)
         y_logits_u, labels_dec_s2 = self.labels_vae.decode(
-            params["labels"], bn_state["labels"], mu_lab_u + eps4, True, keys[11]
+            params["labels"], bn_state["labels"], mu_lab_u + eps4, True, keys[11],
+            dropout_bits=slots(7)
         )
         mu_lab_s, labels_enc_s2 = self.labels_vae.encode(
-            params["labels"], bn_state["labels"], y_s, True, keys[9]
+            params["labels"], bn_state["labels"], y_s, True, keys[9],
+            dropout_bits=slots(8)
         )
 
         # --- losses
@@ -441,7 +495,8 @@ class VAEVAE:
                 train_state, rng = carry
                 params, bn_state, opt_state = train_state
                 rng, key = jax.random.split(rng)
-                k_sup, k_unsup, scan_key = jax.random.split(key, 3)
+                k_sup, k_unsup, scan_key, bank_key = jax.random.split(key, 4)
+                bank = self._draw_dropout_bank(bank_key, bs)
                 perm_sup = jax.random.permutation(k_sup, n)[: nb * bs]
                 perm_uns = jax.random.permutation(k_unsup, n)[: nb * bs]
 
@@ -475,10 +530,18 @@ class VAEVAE:
                 def step(carry, i):
                     params, bn_state, opt_state, key = carry
                     key, sub = jax.random.split(key)
+                    if bank is None:
+                        bank_i = None
+                    else:
+                        # per-step rotation of the epoch's dropout bytes
+                        # (uint8 add fuses into the threshold compare)
+                        rot = (i * 97).astype(jnp.uint8)
+                        bank_i = [b + rot for b in bank]
 
                     def loss_fn(params, bn_state):
                         total, new_bn, metrics = self._step_losses(
-                            params, bn_state, gather(shuf_s, i), gather(shuf_u, i), sub
+                            params, bn_state, gather(shuf_s, i), gather(shuf_u, i), sub,
+                            bank=bank_i,
                         )
                         return total, (new_bn, metrics)
 
