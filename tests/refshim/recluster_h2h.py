@@ -126,7 +126,9 @@ def build_dataset(workdir: str, n_contigs: int, n_samples: int,
     print(f"[h2h] planted {n_planted} marker genes "
           f"({n_genomes} genomes x {N_MARKERS} markers)", file=sys.stderr)
 
-    # ground-truth genus taxonomy: GENOMES_PER_GENUS genomes share a genus
+    # ground-truth genus taxonomy: GENOMES_PER_GENUS genomes share a genus;
+    # higher ranks nest by integer division so every name has exactly one
+    # parent (the reference validates tree-ness, taxonomy.py:264-294)
     tax_path = os.path.join(workdir, "taxonomy.tsv")
     with open(tax_path, "w") as f:
         f.write("contigs\tpredictions\n")
@@ -135,8 +137,8 @@ def build_dataset(workdir: str, n_contigs: int, n_samples: int,
             genus = g // GENOMES_PER_GENUS
             f.write(
                 f"S{g % n_samples}C{i}\t"
-                f"Bacteria;P{genus % 7};C{genus % 13};O{genus % 29};"
-                f"F{genus % 47};genus{genus};species{g}\n")
+                f"Bacteria;P{genus // 16};C{genus // 8};O{genus // 4};"
+                f"F{genus // 2};genus{genus};species{g}\n")
     return fasta, tsv, hmm_path, tax_path, which, lengths
 
 
@@ -154,12 +156,26 @@ def run_cmd(name, cmd, env=None):
     return wall
 
 
-def read_bins(path):
+def read_bins(path, tab_rows_only=False):
+    """Read a cluster TSV into {bin: [contig ints]}.
+
+    `tab_rows_only` handles a REFERENCE BUG its recluster path exposes:
+    export_clusters prints the binsplit rows to the UNSPLIT file handle
+    (reference __main__.py:1216-1228, `file=unsplit_clusters_file`), so its
+    `_split.tsv` is always header-only and its `_unsplit.tsv` interleaves
+    space-separated unsplit rows with tab-separated split rows. Passing
+    tab_rows_only=True extracts just the split rows from that mixed file."""
     bins: dict = {}
     with open(path) as f:
         next(f)
         for line in f:
-            b, c = line.rstrip("\n").split("\t")
+            line = line.rstrip("\n")
+            if "\t" not in line:
+                if tab_rows_only:
+                    continue
+                b, c = line.split(" ", 1)
+            else:
+                b, c = line.split("\t")
             bins.setdefault(b, []).append(int(c.split("C", 1)[1]))
     return bins
 
@@ -220,7 +236,8 @@ def main():
         # caches markers.npz; later runs reuse that artifact (--markers),
         # which both pins identical marker inputs across all four runs and
         # checks cross-pipeline markers.npz interop.
-        markers_npz = None
+        cached_markers = os.path.join(workdir, "markers_cached.npz")
+        markers_npz = cached_markers if os.path.exists(cached_markers) else None
         for mode in ("kmeans", "dbscan"):
             for side in ("reference", "vamb_tpu"):
                 outdir = os.path.join(workdir, f"{side}_{mode}")
@@ -252,8 +269,13 @@ def main():
                            *alg_args]
                     env = None
                 wall = run_cmd(f"{side} {mode}", cmd, env)
-                bins = read_bins(
-                    os.path.join(outdir, "clusters_reclustered_split.tsv"))
+                if side == "reference":
+                    bins = read_bins(
+                        os.path.join(outdir, "clusters_reclustered_unsplit.tsv"),
+                        tab_rows_only=True)
+                else:
+                    bins = read_bins(
+                        os.path.join(outdir, "clusters_reclustered_split.tsv"))
                 nc, mq = _score_bins_vs_truth(bins, which, lengths, args.genomes)
                 results[f"{side}_{mode}"] = {
                     "wall_s": round(wall, 1), "nc_like": nc, "mq_like": mq,
@@ -261,9 +283,10 @@ def main():
                 }
                 print(f"[h2h] {side} {mode}: NC {nc} MQ {mq} "
                       f"bins {len(bins)} wall {wall:.1f}s", file=sys.stderr)
-                cached = os.path.join(outdir, "markers.npz")
-                if markers_npz is None and os.path.exists(cached):
-                    markers_npz = cached
+                produced = os.path.join(outdir, "markers.npz")
+                if markers_npz is None and os.path.exists(produced):
+                    shutil.copy(produced, cached_markers)
+                    markers_npz = cached_markers
         print(json.dumps(results))
     finally:
         if not args.keep and args.workdir is None:

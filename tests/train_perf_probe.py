@@ -41,15 +41,20 @@ DATA = (jnp.asarray(ds.depths), jnp.asarray(ds.tnf),
         jnp.asarray(ds.abundance), jnp.asarray(ds.weights))
 
 
+def _sync(tree):
+    def pull(x):
+        if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+            x = jax.random.key_data(x)
+        return np.asarray(x) if hasattr(x, "shape") else x
+    jax.tree.map(pull, tree)
+
+
 def timed(name, fn, *args, reps=3):
-    out = fn(*args)
-    jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, out)
+    _sync(fn(*args))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.tree.map(
-            lambda x: np.asarray(x) if hasattr(x, "shape") else x, out)
+        _sync(fn(*args))
         best = min(best, time.perf_counter() - t0)
     per_contig = N * EPOCHS / best
     print(f"{name:32s} {best*1e3/EPOCHS:8.2f} ms/epoch  "
