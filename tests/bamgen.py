@@ -48,14 +48,15 @@ def alignment(
 
 def write_bam(path, refs: list[tuple[str, int]], alignments: list[bytes]) -> None:
     "refs: list of (name, length)."
-    payload = b"BAM\1"
+    parts = [b"BAM\1"]
     text = b"@HD\tVN:1.6\n"
-    payload += struct.pack("<i", len(text)) + text
-    payload += struct.pack("<i", len(refs))
+    parts.append(struct.pack("<i", len(text)) + text)
+    parts.append(struct.pack("<i", len(refs)))
     for name, length in refs:
         bname = name.encode() + b"\0"
-        payload += struct.pack("<i", len(bname)) + bname + struct.pack("<i", length)
-    for aln in alignments:
-        payload += aln
+        parts.append(struct.pack("<i", len(bname)) + bname + struct.pack("<i", length))
+    # join once: += on a large bytes payload is quadratic and dominated
+    # wall time for the h2h-scale BAMs (tens of thousands of alignments)
+    parts.extend(alignments)
     with open(path, "wb") as f:
-        f.write(gzip.compress(payload))
+        f.write(gzip.compress(b"".join(parts)))

@@ -142,12 +142,20 @@ def main():
                          allow_pickle=True)
         tpu_ab = np.load(os.path.join(workdir, "vamb_tpu/abundance.npz"),
                          allow_pickle=True)
-        bit_identical = (
-            ref_ab["matrix"].shape == tpu_ab["matrix"].shape
-            and bool(np.array_equal(ref_ab["matrix"], tpu_ab["matrix"]))
-        )
-        results["abundance_bit_identical"] = bit_identical
-        print(f"[bam-h2h] abundance matrices bit-identical: {bit_identical}",
+        # align sample columns by name first: the reference takes BAMs in
+        # raw `dir.iterdir()` filesystem order (__main__.py:131 — not
+        # reproducible across systems), while this repo sorts the paths
+        rnames = [str(x) for x in ref_ab["samplenames"]]
+        tnames = [str(x) for x in tpu_ab["samplenames"]]
+        bit_identical = False
+        if sorted(rnames) == sorted(tnames):
+            perm = [rnames.index(n) for n in tnames]
+            bit_identical = bool(
+                np.array_equal(ref_ab["matrix"][:, perm], tpu_ab["matrix"]))
+        results["abundance_bit_identical_aligned"] = bit_identical
+        results["samplename_order_matches"] = rnames == tnames
+        print(f"[bam-h2h] abundance matrices bit-identical after column "
+              f"alignment: {bit_identical} (raw order equal: {rnames == tnames})",
               file=sys.stderr)
         print(json.dumps(results))
     finally:
