@@ -49,17 +49,28 @@ def _sync(tree):
     jax.tree.map(pull, tree)
 
 
-def timed(name, fn, *args, reps=3):
-    _sync(fn(*args))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
+def timed_interleaved(variants, reps=5):
+    """Time a list of (name, fn, args) round-robin with per-variant medians.
+
+    The shared TPU pool's delivered rate swings >2x (measured >30x in one
+    moment this round), so back-to-back timing of variants confounds the
+    pool with the ablation; interleaving puts every pool moment across all
+    variants and the median rejects the spikes."""
+    walls = {name: [] for name, _, _ in variants}
+    for name, fn, args in variants:  # compile + warm
         _sync(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    per_contig = N * EPOCHS / best
-    print(f"{name:32s} {best*1e3/EPOCHS:8.2f} ms/epoch  "
-          f"{per_contig:.3g} contigs/s")
-    return best
+    for _ in range(reps):
+        for name, fn, args in variants:
+            t0 = time.perf_counter()
+            _sync(fn(*args))
+            walls[name].append(time.perf_counter() - t0)
+    for name, _, _ in variants:
+        med = float(np.median(walls[name]))
+        print(f"{name:32s} {med*1e3/EPOCHS:8.2f} ms/epoch  "
+              f"{N*EPOCHS/med:.3g} contigs/s  "
+              f"(spread {min(walls[name])*1e3/EPOCHS:.1f}-"
+              f"{max(walls[name])*1e3/EPOCHS:.1f})")
+    return walls
 
 
 def scan_epochs(step, carry0, nb=NB, nepochs=EPOCHS):
@@ -149,6 +160,7 @@ def probe_aae():
         return step
 
     carry0 = (aae.params, aae.bn_state, opts, jax.random.key(0))
+    variants = []
     for name, kw in [
         ("full (3 phases, rng)", {}),
         ("no third encode", dict(third_encode=False)),
@@ -158,7 +170,8 @@ def probe_aae():
         ("gen only + no rng", dict(phases=1, no_rng=True)),
     ]:
         run, c0 = scan_epochs(make_step(**kw), carry0)
-        timed(name, run, c0)
+        variants.append((name, run, (c0,)))
+    timed_interleaved(variants)
 
 
 def probe_taxometer():
@@ -205,6 +218,7 @@ def probe_taxometer():
 
     dd = dadapt_adam()
     ad = optax.adam(1e-3)
+    variants = []
     for name, model, step, opt in [
         ("full (dadapt, dropout)", tx, make_step(tx, dd), dd),
         ("plain adam", tx, make_step(tx, ad), ad),
@@ -215,7 +229,8 @@ def probe_taxometer():
         carry0 = (model.params, model.bn_state, opt.init(model.params),
                   jax.random.key(0))
         run, c0 = scan_epochs(step, carry0)
-        timed(f"taxometer: {name}", run, c0)
+        variants.append((f"taxometer: {name}", run, (c0,)))
+    timed_interleaved(variants)
 
 
 if __name__ == "__main__":

@@ -26,4 +26,4 @@ from .abundance import Abundance  # noqa: F401
 from .composition import Composition, CompositionMetaData  # noqa: F401
 from .markers import Markers  # noqa: F401
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
