@@ -128,16 +128,28 @@ def bench_vae() -> dict:
         elapsed = min(elapsed, time.time() - t0)
 
     contigs_per_s = VAE_N * VAE_TIMED_EPOCHS / elapsed
+    try:
+        flops = epoch_fn.lower(
+            params, bn_state, opt_state, data, key,
+            batchsize=VAE_BATCH, nbatches=nb, nepochs=VAE_TIMED_EPOCHS,
+        ).compile().cost_analysis().get("flops")
+    except Exception:
+        flops = None
     print(
         f"[bench] VAE: {VAE_TIMED_EPOCHS} epochs x {VAE_N} contigs "
         f"(S={VAE_SAMPLES}, batch {VAE_BATCH}) in {elapsed:.2f}s "
-        f"-> {contigs_per_s:.3g} contigs/s/chip",
+        f"-> {contigs_per_s:.3g} contigs/s/chip"
+        + (f"; {flops / (VAE_N * VAE_TIMED_EPOCHS) / 1e6:.2f} MF/contig, "
+           f"{flops / elapsed / 1e12:.1f} eff TF/s" if flops else ""),
         file=sys.stderr,
     )
     metrics = {
         "vae_train_contigs_per_s_chip": contigs_per_s,
         "vae_epoch_seconds_100k": elapsed / VAE_TIMED_EPOCHS,
     }
+    if flops:
+        metrics["vae_train_flops_per_contig"] = flops / (VAE_N * VAE_TIMED_EPOCHS)
+        metrics["vae_train_effective_tflops"] = flops / elapsed / 1e12
 
     # Opt-in bf16 training (--precision bf16): matmuls on the MXU bf16 path,
     # f32 master weights/BatchNorm stats/loss; encode stays exact f32.
@@ -244,16 +256,28 @@ def bench_secondary_models() -> dict:
                 t0 = time.time()
                 run(ds, epochs, walls)
                 call_wall = time.time() - t0
-                exec_wall = sum(w for _, w in walls)
-                done = sum(sl for sl, _ in walls)
+                exec_wall = sum(w for _, w, _ in walls)
+                done = sum(sl for sl, _, _ in walls)
                 rate = n * done / max(exec_wall, 1e-9)
                 out[f"{name}_train_contigs_per_s_chip"] = rate
                 out[f"{name}_train_fixed_overhead_s"] = call_wall - exec_wall
+                # FLOP-normalized context from XLA's own HLO flop count:
+                # the per-contig training work differs up to ~5x between
+                # families (AAE runs 3 adversarial phases over wider heads),
+                # so raw contigs/s alone overstates cross-family "gaps"
+                flops = sum(f for _, _, f in walls if f)
+                if flops:
+                    out[f"{name}_train_flops_per_contig"] = flops / (n * done)
+                    out[f"{name}_train_effective_tflops"] = (
+                        flops / max(exec_wall, 1e-9) / 1e12)
                 print(
                     f"[bench] {name}: {done} epochs x {n} contigs executed "
-                    f"in {exec_wall:.2f}s -> {rate:.3g} contigs/s/chip; "
-                    f"fixed per-call overhead (trace+lower) "
-                    f"{call_wall - exec_wall:.2f}s",
+                    f"in {exec_wall:.2f}s -> {rate:.3g} contigs/s/chip"
+                    + (f"; {flops / (n * done) / 1e6:.2f} MF/contig, "
+                       f"{flops / max(exec_wall, 1e-9) / 1e12:.1f} eff TF/s"
+                       if flops else "")
+                    + f"; fixed per-call overhead (trace+lower) "
+                      f"{call_wall - exec_wall:.2f}s",
                     file=sys.stderr,
                 )
             except Exception as e:  # pragma: no cover — fence per model
