@@ -27,6 +27,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="+", default=[20_000, 50_000])
     ap.add_argument("--skip", choices=["ref", "tpu"], default=None)
+    ap.add_argument("--reps", type=int, default=1,
+                    help="repeat each size (first rep carries one-time "
+                         "compiles; later reps are the warm number)")
     args = ap.parse_args()
 
     from bench import D, N, _blob_latents
@@ -37,14 +40,17 @@ def main() -> None:
         for n in args.sizes:
             sub = np.ascontiguousarray(matrix[:n]).astype(np.float32)
             lens = np.ascontiguousarray(lengths[:n]).astype(np.int64)
-            t0 = time.time()
-            count = sum(1 for _ in make_gen(sub, lens))
-            dt = time.time() - t0
-            print(
-                f"{name}: n={n} clusters={count} wall={dt:.1f}s "
-                f"-> {dt / count * 1e3:.3f} ms/cluster",
-                flush=True,
-            )
+            for rep in range(args.reps):
+                t0 = time.time()
+                count = sum(1 for _ in make_gen(sub.copy(), lens.copy()))
+                dt = time.time() - t0
+                tag = "" if args.reps == 1 else (
+                    " [cold]" if rep == 0 else f" [warm {rep}]")
+                print(
+                    f"{name}: n={n} clusters={count} wall={dt:.1f}s "
+                    f"-> {dt / count * 1e3:.3f} ms/cluster{tag}",
+                    flush=True,
+                )
 
     if args.skip != "tpu":
         from vamb_tpu.cluster import ClusterGenerator

@@ -233,6 +233,37 @@ def probe_taxometer():
     timed_interleaved(variants)
 
 
+def probe_vaevae():
+    "Bank vs per-step-draw dropout A/B through the PRODUCT step."
+    import os
+
+    from vamb_tpu.models.vaevae import VAEVAE
+
+    taxes = [ContigTaxonomy(["Bacteria", f"phylum{i % 8}", f"genus{i}"])
+             for i in range(64)]
+    nodes, ind_nodes, table_parent = hier.make_graph(taxes)
+    targets = np.asarray(
+        [ind_nodes[f"genus{i % 64}"] for i in range(N)], np.int32)
+
+    def run(mode):
+        os.environ["VAMB_TPU_DROPOUT_MODE"] = mode
+        try:
+            vv = VAEVAE(nsamples=S, nlabels=len(nodes), nodes=nodes,
+                        table_parent=table_parent, hier_loss="flat_softmax",
+                        seed=1)
+            walls: list = []
+            vv.trainmodel(ds, targets, nepochs=EPOCHS, batchsize=BS,
+                          batchsteps=None, segment_walls=walls)
+            wall = sum(w for _, w, _ in walls)
+            print(f"vaevae [{mode or 'bank'}]: {wall*1e3/EPOCHS:.2f} ms/epoch "
+                  f"{N*EPOCHS/wall:.3g} contigs/s")
+        finally:
+            os.environ.pop("VAMB_TPU_DROPOUT_MODE", None)
+
+    for mode in ("", "step", "", "step"):
+        run(mode)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("aae", "all"):
@@ -241,3 +272,6 @@ if __name__ == "__main__":
     if which in ("taxometer", "all"):
         print(f"== Taxometer ==")
         probe_taxometer()
+    if which in ("vaevae", "all"):
+        print(f"== VAEVAE (bank vs per-step dropout) ==")
+        probe_vaevae()
