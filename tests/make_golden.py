@@ -108,6 +108,57 @@ def run_bin_default(outdir: Path, datadir: Path) -> None:
     )
 
 
+def write_synthetic_taxonomy(d: Path) -> None:
+    """Deterministic genus-level taxonomy over the synthetic dataset: one
+    genus per planted group, uppers nested by integer division (a valid
+    tree). Extends the goldens to the semisupervised paths."""
+    n_groups = 25
+    with open(d / "taxonomy.tsv", "w") as f:
+        f.write("contigs\tpredictions\n")
+        for i in range(N_CONTIGS):
+            g = i % n_groups
+            f.write(
+                f"S{1 + i % 3}C{i}\tBacteria;P{g // 8};C{g // 4};O{g // 2};"
+                f"F{g};genus{g};species{g}\n"
+            )
+
+
+def run_bin_taxvamb(outdir: Path, datadir: Path) -> None:
+    from vamb_tpu.__main__ import main
+
+    main(
+        [
+            "bin",
+            "taxvamb",
+            "--outdir", str(outdir),
+            "--fasta", str(datadir / "contigs.fna"),
+            "--abundance_tsv", str(datadir / "abundance.tsv"),
+            "--taxonomy", str(datadir / "taxonomy.tsv"),
+            "--no_predictor",
+            "-e", str(EPOCHS),
+            "-q", "2",
+            "--seed", str(SEED),
+            "-u", str(MIN_SUCCESSES),
+        ]
+    )
+
+
+def run_taxometer(outdir: Path, datadir: Path) -> None:
+    from vamb_tpu.__main__ import main
+
+    main(
+        [
+            "taxometer",
+            "--outdir", str(outdir),
+            "--fasta", str(datadir / "contigs.fna"),
+            "--abundance_tsv", str(datadir / "abundance.tsv"),
+            "--taxonomy", str(datadir / "taxonomy.tsv"),
+            "-pe", str(EPOCHS),
+            "--seed", str(SEED),
+        ]
+    )
+
+
 def merge_reference_aemb(output: Path) -> None:
     src_dir = Path(__file__).resolve().parent.parent / "src"
     sys.path.insert(0, str(src_dir.parent))
@@ -130,6 +181,7 @@ def main() -> None:
         data = tmp / "data"
         data.mkdir()
         write_synthetic_dataset(data)
+        write_synthetic_taxonomy(data)
         out = tmp / "run"
         run_bin_default(out, data)
         for name in (
@@ -138,6 +190,18 @@ def main() -> None:
             "vae_clusters_metadata.tsv",
         ):
             shutil.copy(out / name, GOLDEN_DIR / name)
+        out_tv = tmp / "run_taxvamb"
+        run_bin_taxvamb(out_tv, data)
+        shutil.copy(
+            out_tv / "vaevae_clusters_unsplit.tsv",
+            GOLDEN_DIR / "vaevae_clusters_unsplit.tsv",
+        )
+        out_tm = tmp / "run_taxometer"
+        run_taxometer(out_tm, data)
+        shutil.copy(
+            out_tm / "results_taxometer.tsv",
+            GOLDEN_DIR / "results_taxometer.tsv",
+        )
     print(f"goldens written to {GOLDEN_DIR}")
 
 

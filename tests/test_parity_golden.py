@@ -64,6 +64,33 @@ class TestPipelineGolden:
         assert produced == golden, f"{name} drifted from committed golden"
 
 
+class TestSemisupervisedGoldens:
+    """Taxvamb + Taxometer CLI runs reproduce their committed goldens
+    byte-for-byte — locks the semisupervised paths' full RNG streams
+    (incl. the round-5 per-epoch dropout byte banks)."""
+
+    @pytest.fixture(scope="class")
+    def data(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("golden_semisup_data")
+        make_golden.write_synthetic_dataset(d)
+        make_golden.write_synthetic_taxonomy(d)
+        return d
+
+    def test_taxvamb_matches_golden(self, data, tmp_path_factory):
+        out = tmp_path_factory.mktemp("golden_taxvamb") / "run"
+        make_golden.run_bin_taxvamb(out, data)
+        produced = (out / "vaevae_clusters_unsplit.tsv").read_text()
+        golden = (GOLDEN / "vaevae_clusters_unsplit.tsv").read_text()
+        assert produced == golden, "taxvamb clusters drifted from golden"
+
+    def test_taxometer_matches_golden(self, data, tmp_path_factory):
+        out = tmp_path_factory.mktemp("golden_taxometer") / "run"
+        make_golden.run_taxometer(out, data)
+        produced = (out / "results_taxometer.tsv").read_text()
+        golden = (GOLDEN / "results_taxometer.tsv").read_text()
+        assert produced == golden, "taxometer predictions drifted from golden"
+
+
 class TestOracleOnPipelineLatents:
     def test_oracle_reproduces_engine_clusters(self, pipeline_run):
         """Re-cluster the pipeline's latents with the sequential oracle and
