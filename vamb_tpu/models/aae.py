@@ -343,6 +343,7 @@ class AAE:
                     }
 
                     # ---- discriminator z phase (fresh encode, grads only to disc)
+                    bn_enc_before = bn_state["enc"]
                     mu, logvar, y_lat, bn_enc_s = self.encode_apply(
                         params, bn_state, d_in, t_in, True
                     )
@@ -368,12 +369,17 @@ class AAE:
 
                     # ---- discriminator y phase
                     # The reference encodes a THIRD time for this phase
-                    # (aamb_encode.py disc-y step). Outputs are identical to
-                    # the disc-z encode (same params, same batch; XLA CSEs the
-                    # shared compute) but the encoder BN running-stat EMA
-                    # applies once more — needed for eval-mode latent parity.
-                    _, _, _, bn_enc_s3 = self.encode_apply(
-                        params, bn_state, d_in, t_in, True
+                    # (aamb_encode.py disc-y step). Its outputs are identical
+                    # to the disc-z encode (same params, same batch) — only
+                    # the encoder BN running-stat EMA applies once more,
+                    # which eval-mode latent parity needs. With momentum m
+                    # and batch stats b: s2 = (1-m)s1 + m*b and
+                    # s3 = (1-m)s2 + m*b, so s3 = (2-m)*s2 - (1-m)*s1 —
+                    # apply that closed form instead of a redundant forward.
+                    m = 0.1  # layers.batchnorm_train default momentum
+                    bn_enc_s3 = jax.tree.map(
+                        lambda s2, s1: (2 - m) * s2 - (1 - m) * s1,
+                        bn_enc_s, bn_enc_before,
                     )
                     bn_state = {"enc": bn_enc_s3, "dec": bn_state["dec"]}
 
