@@ -911,6 +911,32 @@ def bench_pallas_ab() -> None:
         print(f"{name}: {scan_bench(fn):.3f} ms", file=sys.stderr)
 
 
+def _pool_gemm_rate() -> float:
+    "Delivered TF/s on a 2048^3 f32-DEFAULT GEMM loop (best of 3)."
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2048, 2048)).astype(np.float32)
+    )
+
+    @jax.jit
+    def mm(a):
+        def step(c, _):
+            return c @ a, ()
+
+        out, _ = jax.lax.scan(step, a, None, length=50)
+        return out
+
+    np.asarray(mm(a))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(mm(a))
+        best = min(best, time.perf_counter() - t0)
+    return 50 * 2 * 2048**3 / best / 1e12
+
+
 def main() -> None:
     if "--pallas-ab" in sys.argv:
         bench_pallas_ab()
@@ -918,12 +944,26 @@ def main() -> None:
     if "--e2e" in sys.argv:
         bench_e2e()
         return
+    # Pool-health context first: the shared TPU pool's delivered GEMM rate
+    # swings wildly (68.6 TF/s measured in round 3; sustained ~2 TF/s for
+    # hours during round 5), so every wall-clock number below must be read
+    # against what the hardware was actually delivering at bench time.
+    extra = {}
+    try:
+        extra["pool_gemm_tflops_2048"] = _pool_gemm_rate()
+        print(
+            f"[bench] pool health: {extra['pool_gemm_tflops_2048']:.1f} TF/s "
+            "delivered at 2048^3 f32-DEFAULT (r3 reference moment: 68.6)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"[bench] pool health probe failed: {e!r}", file=sys.stderr)
     # Clustering (the headline metric) runs first, and each stage is
     # fenced: a cold XLA compile through the TPU tunnel can take many
     # minutes per program, so if the driver's budget expires mid-run the
     # already-measured metrics must still reach the JSON line.
     rate, cluster_metrics = bench_clustering()
-    extra = dict(cluster_metrics)
+    extra.update(cluster_metrics)
     headline_rate = rate
     headline_name = "cluster_effective_dists_per_s_1M"
     for stage_name, stage in (
