@@ -302,3 +302,50 @@ def test_identity_denominator_counts_m_i_d_ops(tmp_path):
     assert at93[0, 0] == 0.0  # 0.92 < 0.93: filtered (clips NOT in denom)
     _, at91 = coverage_from_bams([str(p)], minid=0.91)
     assert at91[0, 0] > 0.0
+
+
+class TestRefshimSortednessProbe:
+    """The pycoverm refshim's is_bam_sorted is a real coordinate-order
+    probe since round 5 (it previously always returned True)."""
+
+    def _probe(self):
+        import importlib.util
+        import pathlib
+
+        site = (pathlib.Path(__file__).parent / "refshim" / "site"
+                / "pycoverm" / "__init__.py")
+        spec = importlib.util.spec_from_file_location("_pycoverm_shim", site)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.is_bam_sorted
+
+    def test_sorted_bam_passes(self, tmp_path):
+        p = tmp_path / "sorted.bam"
+        alns = [
+            alignment(0, pos, [cigar_op(100, "M")], read_name=b"a%d" % pos)
+            for pos in (0, 5, 9)
+        ] + [
+            alignment(1, pos, [cigar_op(100, "M")], read_name=b"b%d" % pos)
+            for pos in (2, 2, 7)
+        ]
+        write_bam(p, REFS, alns)
+        assert self._probe()(str(p)) is True
+
+    def test_position_regression_fails(self, tmp_path):
+        p = tmp_path / "unsorted.bam"
+        alns = [
+            alignment(0, 9, [cigar_op(100, "M")], read_name=b"x"),
+            alignment(0, 3, [cigar_op(100, "M")], read_name=b"y"),
+        ]
+        write_bam(p, REFS, alns)
+        assert self._probe()(str(p)) is False
+
+    def test_interleaved_refs_fail(self, tmp_path):
+        p = tmp_path / "interleaved.bam"
+        alns = [
+            alignment(0, 1, [cigar_op(100, "M")], read_name=b"x"),
+            alignment(1, 1, [cigar_op(100, "M")], read_name=b"y"),
+            alignment(0, 2, [cigar_op(100, "M")], read_name=b"z"),
+        ]
+        write_bam(p, REFS, alns)
+        assert self._probe()(str(p)) is False
