@@ -62,6 +62,18 @@ _enable_compile_cache()
 
 BASELINE_DISTS_PER_S = 1.0e10  # self-derived, see module docstring
 
+# Degraded-pool mode (round 5): when the shared TPU pool delivers a small
+# fraction of its normal rate (sustained ~2 vs 68.6 TF/s for hours was
+# observed), every wall below inflates ~30x and the normal repeat counts
+# would blow any driver budget without adding information (repeats can't
+# average away a systematically slow pool). main() probes the pool first
+# and halves the workload knobs through this flag.
+POOL_DEGRADED = False
+
+
+def _repeats(normal: int) -> int:
+    return 1 if POOL_DEGRADED else normal
+
 N = 1_000_000
 D = 32
 # The engine pipelines host decode with the next device batch, so a timed
@@ -119,7 +131,7 @@ def bench_vae() -> dict:
     )
     np.asarray(comps)
     elapsed = float("inf")
-    for _ in range(3):
+    for _ in range(_repeats(3)):
         t0 = time.time()
         params, bn_state, opt_state, key, comps = run_epochs(
             params, bn_state, opt_state, key, VAE_TIMED_EPOCHS
@@ -171,7 +183,7 @@ def bench_vae() -> dict:
     )
     np.asarray(comps)
     elapsed16 = float("inf")
-    for _ in range(3):
+    for _ in range(_repeats(3)):
         t0 = time.time()
         params, bn_state, opt_state, key, comps = run_epochs16(
             params, bn_state, opt_state, key, VAE_TIMED_EPOCHS
@@ -446,7 +458,7 @@ def bench_noisy_clustering() -> dict:
     # best-of-2 full runs: the round-4 single-shot wall moved 17.4 -> 20.7 s
     # round-over-round on a faster engine purely from pool swings
     runs = []
-    for _ in range(2):
+    for _ in range(_repeats(2)):
         gen = vc.ClusterGenerator(matrix, lengths, normalized=True)
         float(gen.matrixT[0, 0])  # force the host->device upload first
         t0 = time.time()
@@ -520,7 +532,7 @@ def bench_cluster_quality_ab() -> dict:
     # arms, not one) and the reported wall is the per-arm MEDIAN. Bins are
     # deterministic per arm (fixed generator seed), so quality is scored
     # once on the first repeat.
-    AB_REPEATS = 3
+    AB_REPEATS = _repeats(3)
     out: dict = {}
     counts: list[int] = []
     walls: dict = {name: [] for name, _ in configs}
@@ -951,9 +963,14 @@ def main() -> None:
     extra = {}
     try:
         extra["pool_gemm_tflops_2048"] = _pool_gemm_rate()
+        global POOL_DEGRADED
+        POOL_DEGRADED = extra["pool_gemm_tflops_2048"] < 10.0
+        extra["pool_degraded"] = POOL_DEGRADED
         print(
             f"[bench] pool health: {extra['pool_gemm_tflops_2048']:.1f} TF/s "
-            "delivered at 2048^3 f32-DEFAULT (r3 reference moment: 68.6)",
+            "delivered at 2048^3 f32-DEFAULT (r3 reference moment: 68.6)"
+            + ("; DEGRADED - repeat counts reduced so the run completes"
+               if POOL_DEGRADED else ""),
             file=sys.stderr,
         )
     except Exception as e:  # pragma: no cover - defensive
