@@ -140,28 +140,24 @@ def bench_vae() -> dict:
         elapsed = min(elapsed, time.time() - t0)
 
     contigs_per_s = VAE_N * VAE_TIMED_EPOCHS / elapsed
-    try:
-        flops = epoch_fn.lower(
-            params, bn_state, opt_state, data, key,
-            batchsize=VAE_BATCH, nbatches=nb, nepochs=VAE_TIMED_EPOCHS,
-        ).compile().cost_analysis().get("flops")
-    except Exception:
-        flops = None
+    # analytic dense fwd+bwd FLOPs per contig-epoch (the MXU-governed part)
+    F = VAE_SAMPLES + 104
+    flops_row = _mlp_train_flops_per_row(
+        [(F, 512), (512, 512), (512, 32), (32, 512), (512, 512), (512, F)])
+    eff_tfs = flops_row * VAE_N * VAE_TIMED_EPOCHS / elapsed / 1e12
     print(
         f"[bench] VAE: {VAE_TIMED_EPOCHS} epochs x {VAE_N} contigs "
         f"(S={VAE_SAMPLES}, batch {VAE_BATCH}) in {elapsed:.2f}s "
-        f"-> {contigs_per_s:.3g} contigs/s/chip"
-        + (f"; {flops / (VAE_N * VAE_TIMED_EPOCHS) / 1e6:.2f} MF/contig, "
-           f"{flops / elapsed / 1e12:.1f} eff TF/s" if flops else ""),
+        f"-> {contigs_per_s:.3g} contigs/s/chip; "
+        f"{flops_row / 1e6:.2f} MF/contig (analytic), {eff_tfs:.1f} eff TF/s",
         file=sys.stderr,
     )
     metrics = {
         "vae_train_contigs_per_s_chip": contigs_per_s,
         "vae_epoch_seconds_100k": elapsed / VAE_TIMED_EPOCHS,
+        "vae_train_flops_per_contig": flops_row,
+        "vae_train_effective_tflops": eff_tfs,
     }
-    if flops:
-        metrics["vae_train_flops_per_contig"] = flops / (VAE_N * VAE_TIMED_EPOCHS)
-        metrics["vae_train_effective_tflops"] = flops / elapsed / 1e12
 
     # Opt-in bf16 training (--precision bf16): matmuls on the MXU bf16 path,
     # f32 master weights/BatchNorm stats/loss; encode stays exact f32.
@@ -199,6 +195,13 @@ def bench_vae() -> dict:
     )
     metrics["vae_train_contigs_per_s_chip_bf16_optin"] = rate16
     return metrics
+
+
+def _mlp_train_flops_per_row(dims) -> float:
+    """Analytic training FLOPs per batch row for a dense stack: fwd GEMMs
+    2*sum(nin*nout), backward dX+dW another 2x that (standard 3x-fwd rule;
+    excludes BN/activations/optimizer — the MXU-governed part only)."""
+    return 3.0 * 2.0 * sum(a * b for a, b in dims)
 
 
 def bench_secondary_models() -> dict:
@@ -241,6 +244,34 @@ def bench_secondary_models() -> dict:
         [ind_nodes[f"genus{i % 64}"] for i in range(n)], dtype=np.int32
     )
 
+    # canary architectures' dense dims (see each model's _init_params)
+    F = s + 104  # depths + tnf(103) + total abundance
+    n_nodes = 73  # nodes in the synthetic 64-genus graph above
+    aae_in, aae_h, aae_z, aae_y = 103 + s, 547, 283, 700
+    flops_per_row = {
+        # gen phase fwd+bwd over enc+heads+dec (3x fwd), disc-z encode fwd
+        # (1x), closed-form BN third update (0); disc nets are ~1% and the
+        # adversarial heads dominate — counted via the head dims below
+        "aae": (
+            3 * 2 * (aae_in * aae_h + aae_h * aae_h
+                     + aae_h * (2 * aae_z + aae_y)          # mu/logvar/y heads
+                     + (aae_z + aae_y) * aae_h + aae_h * aae_h
+                     + aae_h * aae_in)
+            + 1 * 2 * (aae_in * aae_h + aae_h * aae_h
+                       + aae_h * (2 * aae_z + aae_y))
+        ),
+        # nine sub-VAE stack passes, all under one grad (3x fwd each);
+        # stacks are 2x512 hidden + in/out of the canary's N_l=105
+        "vaevae": 3.0 * 2 * (
+            (F + 105) * 512 + 512 * 512 + 512 * 32            # joint enc
+            + 2 * (32 * 512 + 512 * 512 + 512 * F)            # vamb dec x2
+            + 2 * (32 * 512 + 512 * 512 + 512 * 64)           # labels dec x2
+            + 2 * (F * 512 + 512 * 512 + 512 * 32)            # vamb enc x2
+            + 2 * (105 * 512 + 512 * 512 + 512 * 32)          # labels enc x2
+        ),
+        "taxometer": _mlp_train_flops_per_row(
+            [(F, 512), (512, 512), (512, n_nodes)]),
+    }
     out: dict = {}
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
@@ -268,28 +299,26 @@ def bench_secondary_models() -> dict:
                 t0 = time.time()
                 run(ds, epochs, walls)
                 call_wall = time.time() - t0
-                exec_wall = sum(w for _, w, _ in walls)
-                done = sum(sl for sl, _, _ in walls)
+                exec_wall = sum(w for _, w in walls)
+                done = sum(sl for sl, _ in walls)
                 rate = n * done / max(exec_wall, 1e-9)
                 out[f"{name}_train_contigs_per_s_chip"] = rate
                 out[f"{name}_train_fixed_overhead_s"] = call_wall - exec_wall
-                # FLOP-normalized context from XLA's own HLO flop count:
-                # the per-contig training work differs up to ~5x between
-                # families (AAE runs 3 adversarial phases over wider heads),
-                # so raw contigs/s alone overstates cross-family "gaps"
-                flops = sum(f for _, _, f in walls if f)
-                if flops:
-                    out[f"{name}_train_flops_per_contig"] = flops / (n * done)
-                    out[f"{name}_train_effective_tflops"] = (
-                        flops / max(exec_wall, 1e-9) / 1e12)
+                # Analytic FLOP context: per-contig training work differs
+                # up to ~5x between families (the AAE runs 3 adversarial
+                # phases over much wider heads), so raw contigs/s alone
+                # overstates cross-family "gaps". Dense-layer fwd+bwd only.
+                flops_row = flops_per_row[name]
+                out[f"{name}_train_flops_per_contig"] = flops_row
+                out[f"{name}_train_effective_tflops"] = (
+                    flops_row * n * done / max(exec_wall, 1e-9) / 1e12)
                 print(
                     f"[bench] {name}: {done} epochs x {n} contigs executed "
-                    f"in {exec_wall:.2f}s -> {rate:.3g} contigs/s/chip"
-                    + (f"; {flops / (n * done) / 1e6:.2f} MF/contig, "
-                       f"{flops / max(exec_wall, 1e-9) / 1e12:.1f} eff TF/s"
-                       if flops else "")
-                    + f"; fixed per-call overhead (trace+lower) "
-                      f"{call_wall - exec_wall:.2f}s",
+                    f"in {exec_wall:.2f}s -> {rate:.3g} contigs/s/chip; "
+                    f"{flops_row / 1e6:.2f} MF/contig (analytic), "
+                    f"{out[f'{name}_train_effective_tflops']:.1f} eff TF/s; "
+                    f"fixed per-call overhead (trace+lower) "
+                    f"{call_wall - exec_wall:.2f}s",
                     file=sys.stderr,
                 )
             except Exception as e:  # pragma: no cover — fence per model
@@ -924,7 +953,12 @@ def bench_pallas_ab() -> None:
 
 
 def _pool_gemm_rate() -> float:
-    "Delivered TF/s on a 2048^3 f32-DEFAULT GEMM loop (best of 3)."
+    """Delivered TF/s on a 2048^3 f32-DEFAULT GEMM loop (best of 3).
+
+    Syncs by fetching a SCALAR reduction of the result: pulling the full
+    2048^2 matrix through the ~20 MB/s tunnel takes ~1 s and a naive
+    probe then reads tunnel bandwidth as a 30x "pool degradation" (a
+    round-5 afternoon was lost to exactly that misread)."""
     import jax
     import jax.numpy as jnp
 
@@ -938,13 +972,13 @@ def _pool_gemm_rate() -> float:
             return c @ a, ()
 
         out, _ = jax.lax.scan(step, a, None, length=50)
-        return out
+        return jnp.sum(out)
 
-    np.asarray(mm(a))
+    float(mm(a))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(mm(a))
+        float(mm(a))
         best = min(best, time.perf_counter() - t0)
     return 50 * 2 * 2048**3 / best / 1e12
 

@@ -42,6 +42,7 @@ DATA = (jnp.asarray(ds.depths), jnp.asarray(ds.tnf),
 
 
 def _sync(tree):
+    # timed fns return a scalar fingerprint; fetch just that
     def pull(x):
         if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
             x = jax.random.key_data(x)
@@ -80,7 +81,12 @@ def scan_epochs(step, carry0, nb=NB, nepochs=EPOCHS):
             c, _m = jax.lax.scan(step, c, jnp.arange(nb))
             return c, None
         carry, _ = jax.lax.scan(one_epoch, carry, None, length=nepochs)
-        return carry
+        # reduce to a SCALAR fingerprint: fetching the full carry pulls
+        # megabytes through the ~20 MB/s tunnel and times bandwidth, not
+        # compute (a whole afternoon misread the pool because of this)
+        leaves = [x for x in jax.tree.leaves(carry)
+                  if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)]
+        return sum(jnp.sum(x) for x in leaves)
     return run, carry0
 
 

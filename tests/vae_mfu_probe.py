@@ -127,7 +127,7 @@ def gemm_loop(a, b):
     def step(c, _):
         return c @ b, ()
     out, _ = jax.lax.scan(step, a, None, length=200)
-    return out
+    return jnp.sum(out)  # scalar sync
 
 
 t_gemm = best_of(lambda: sync(gemm_loop(a, b)))

@@ -140,14 +140,15 @@ def run_segments_aot(
     called once per epoch. Returns (train_state, rng).
 
     When the caller passes a `segment_walls` list, each segment's
-    (seg_len, execution_wall_s, hlo_flops) is appended to it — the wall
-    from dispatch until the segment's metrics landed on host (excluding
-    trace/lower/compile entirely) plus XLA's own FLOP count for the
-    compiled segment program (None if the backend doesn't report one), so
-    callers can report FLOP-normalized throughput. This forces a host sync
-    per segment, so it is instrumentation-only (bench.py's steady-state
-    training canaries); without it segments dispatch back-to-back and
-    metric rows drain asynchronously."""
+    (seg_len, execution_wall_s) is appended to it — the wall from dispatch
+    until the segment's metrics landed on host, excluding trace/lower/
+    compile entirely. This forces a host sync per segment, so it is
+    instrumentation-only (bench.py's steady-state training canaries);
+    without it segments dispatch back-to-back and metric rows drain
+    asynchronously. (XLA's compiled cost_analysis is deliberately NOT
+    reported here: it counts each scan body once, so a multi-epoch segment
+    program's figure is off by nbatches*nepochs — bench.py carries
+    analytic per-family FLOP formulas instead.)"""
     from concurrent.futures import ThreadPoolExecutor
 
     from .dataset import batchsize_at_epoch, num_batches
@@ -175,12 +176,7 @@ def run_segments_aot(
         train_state, rng, metrics = compiled(train_state, data, rng)
         if segment_walls is not None:
             metrics = np.asarray(metrics)  # blocks until the segment finished
-            wall = time.time() - t0
-            try:
-                flops = compiled.cost_analysis().get("flops")
-            except Exception:
-                flops = None
-            segment_walls.append((seg_len, wall, flops))
+            segment_walls.append((seg_len, time.time() - t0))
         for i in range(seg_len):
             drain_push(epoch + i, metrics[i], bs)
     pool.shutdown(wait=False)
