@@ -115,7 +115,7 @@ def matmul_epoch(x0, ws):
     return out, s
 
 
-t_mm = best_of(lambda: sync(matmul_epoch(x0, ws)))
+t_mm = best_of(lambda: sync(matmul_epoch(x0, ws))) / 20
 
 # ---- 4. delivered TF/s on the epoch's dominant GEMM shape
 a = jnp.asarray(rng.standard_normal((BATCH, 512)).astype(np.float32))
@@ -126,12 +126,12 @@ b = jnp.asarray(rng.standard_normal((512, 512)).astype(np.float32))
 def gemm_loop(a, b):
     def step(c, _):
         return c @ b, ()
-    out, _ = jax.lax.scan(step, a, None, length=200)
+    out, _ = jax.lax.scan(step, a, None, length=2000)
     return jnp.sum(out)  # scalar sync
 
 
 t_gemm = best_of(lambda: sync(gemm_loop(a, b)))
-delivered_tfs = 200 * 2 * BATCH * 512 * 512 / t_gemm / 1e12
+delivered_tfs = 2000 * 2 * BATCH * 512 * 512 / t_gemm / 1e12
 
 mm_floor_s = flops_epoch / (delivered_tfs * 1e12)
 print(f"epoch wall (production, {EPOCHS}-epoch dispatch): {t_full*1e3:.2f} ms")
