@@ -260,7 +260,7 @@ def probe_vaevae():
             walls: list = []
             vv.trainmodel(ds, targets, nepochs=EPOCHS, batchsize=BS,
                           batchsteps=None, segment_walls=walls)
-            wall = sum(w for _, w, _ in walls)
+            wall = sum(w for _, w in walls)
             print(f"vaevae [{mode or 'bank'}]: {wall*1e3/EPOCHS:.2f} ms/epoch "
                   f"{N*EPOCHS/wall:.3g} contigs/s")
         finally:
