@@ -294,12 +294,18 @@ def bench_secondary_models() -> dict:
 
         for name, run in runs.items():
             try:
-                ds = fresh_ds()
-                walls: list = []
-                t0 = time.time()
-                run(ds, epochs, walls)
-                call_wall = time.time() - t0
-                exec_wall = sum(w for _, w in walls)
+                # best-of-N trains: the pool's delivered rate swings 2-4x
+                # between moments and a single train reads as a regression
+                best = None
+                for _ in range(_repeats(2)):
+                    ds = fresh_ds()
+                    walls: list = []
+                    t0 = time.time()
+                    run(ds, epochs, walls)
+                    call_wall = time.time() - t0
+                    if best is None or sum(w for _, w in walls) < best[0]:
+                        best = (sum(w for _, w in walls), walls, call_wall)
+                exec_wall, walls, call_wall = best
                 done = sum(sl for sl, _ in walls)
                 rate = n * done / max(exec_wall, 1e-9)
                 out[f"{name}_train_contigs_per_s_chip"] = rate
