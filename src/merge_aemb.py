@@ -57,45 +57,43 @@ def parse_lines(path: Path):
 
 
 def merge(files: list[Path], output: Path) -> None:
-    identifier_to_index: dict[str, int] = dict()
-    first_depths: list[float] = []
+    # the FIRST file fixes the row order; every later file must cover
+    # exactly the same identifier set (any order)
+    row_of: dict[str, int] = {}
     identifiers: list[str] = []
+    first_depths: list[float] = []
     for identifier, depth in parse_lines(files[0]):
-        length = len(identifier_to_index)
-        identifier_to_index[identifier] = length
-        if len(identifier_to_index) == length:
+        if identifier in row_of:
             exit_with(
-                f"Duplicate sequence name found in file '{files[0]}': '{identifier}'"
+                f"sequence name '{identifier}' occurs twice in '{files[0]}'"
             )
-        first_depths.append(depth)
+        row_of[identifier] = len(identifiers)
         identifiers.append(identifier)
+        first_depths.append(depth)
 
-    matrix = np.full((len(identifiers), len(files)), -1.0, dtype=np.float32)
+    matrix = np.empty((len(identifiers), len(files)), dtype=np.float32)
     matrix[:, 0] = first_depths
 
-    for col_minus_one, file in enumerate(files[1:]):
-        n_seen = 0
+    for col, file in enumerate(files[1:], start=1):
+        seen: set = set()
         for identifier, depth in parse_lines(file):
-            n_seen += 1
-            index = identifier_to_index.get(identifier)
+            index = row_of.get(identifier)
             if index is None:
                 exit_with(
-                    f"Error: Identifier '{identifier}' found in file '{file}' "
-                    "but not present in all files."
+                    f"'{file}' contains '{identifier}', which the first "
+                    "file does not — the aemb files must cover one "
+                    "identifier set"
                 )
-            if matrix[index, col_minus_one + 1] != -1.0:
-                exit_with(
-                    f"Error: Identifier '{identifier}' present multiple times "
-                    f"in file '{file}'"
-                )
-            matrix[index, col_minus_one + 1] = depth
-        if n_seen != len(identifiers):
+            if identifier in seen:
+                exit_with(f"sequence name '{identifier}' occurs twice in '{file}'")
+            seen.add(identifier)
+            matrix[index, col] = depth
+        if len(seen) != len(identifiers):
             exit_with(
-                f"Error: File '{file}' does not have all identifiers of "
-                f"file '{files[0]}'."
+                f"'{file}' is missing identifiers the first file has "
+                f"({len(seen)} of {len(identifiers)})"
             )
 
-    assert -1.0 not in matrix
     with open(output, "w") as file:
         print(
             "contigname", "\t".join([p.name for p in files]), sep="\t", file=file

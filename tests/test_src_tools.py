@@ -77,7 +77,7 @@ def test_merge_aemb_mismatched_ids_fails(tmp_path):
     (d / "s2.tsv").write_text("cX\t2.5\n")
     r = run_tool("merge_aemb.py", d, tmp_path / "out.tsv")
     assert r.returncode != 0
-    assert "not present in all files" in r.stderr
+    assert "which the first file does not" in r.stderr
 
 
 def test_merge_aemb_negative_depth_fails(tmp_path):
